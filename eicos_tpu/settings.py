@@ -1,0 +1,51 @@
+"""Solver settings.
+
+Defaults replicate the reference (EiCOS::Settings,
+/root/reference/include/eicos.hpp:23-47).  Unlike the reference, where most
+fields are ``const`` and effectively compile-time, this is a frozen, hashable
+dataclass passed to jit as a *static* argument: changing a setting recompiles,
+keeping every tolerance a literal inside the compiled program (XLA constant
+folds the exit tests).
+
+Fields absent from the reference:
+  * ``kkt_strategy`` — "full" factors the (n+p+m) quasidefinite KKT matrix
+    (the analogue of the reference's expanded sparse LDL^T,
+    /root/reference/src/eicos.cpp:1734-1890); "reduced" eliminates the cone
+    block analytically and factors only the (n+p) system, recovering accuracy
+    by iterative refinement against the full operator.
+  * ``factor_dtype`` — precision of the LDL^T factorization; residuals and
+    refinement always run in float64.  float32 factorization rides the TPU
+    MXU at full speed and is corrected by refinement.
+"""
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    gamma: float = 0.99          # scaling of the final step length
+    delta: float = 2e-7          # (unused in reference; kept for parity)
+    deltastat: float = 7e-8      # static regularization
+    eps: float = 1e13            # regularization threshold (unused in ref)
+    feastol: float = 1e-8        # primal/dual infeasibility tolerance
+    abstol: float = 1e-8         # absolute tolerance on duality gap
+    reltol: float = 1e-8         # relative tolerance on duality gap
+    feastol_inacc: float = 1e-4  # relaxed infeasibility tolerance
+    abstol_inacc: float = 5e-5   # relaxed absolute gap tolerance
+    reltol_inacc: float = 5e-5   # relaxed relative gap tolerance
+    nitref: int = 9              # max iterative refinement steps
+    maxit: int = 100             # (alias of iter_max in reference)
+    linsysacc: float = 1e-14     # relative accuracy of search direction
+    irerrfact: float = 6.0       # required IR error reduction factor
+    stepmin: float = 1e-6        # smallest admissible step
+    stepmax: float = 0.999       # largest admissible step
+    sigmamin: float = 1e-4       # always do some centering
+    sigmamax: float = 1.0        # never fully center
+    equil_iters: int = 3         # equilibration iterations
+    iter_max: int = 100          # maximum IPM iterations
+    safeguard: float = 500.0     # max PRES increase before NUMERICS
+
+    # TPU-native additions
+    kkt_strategy: str = "full"   # "full" | "reduced"
+    factor_dtype: str = "float64"  # "float64" | "float32"
+    block: int = 128             # LDL^T block size (MXU tile)

@@ -1,0 +1,129 @@
+"""Static problem structure.
+
+The TPU-native split of the reference's mutable ``Solver`` object
+(/root/reference/include/eicos.hpp:116-266) into
+
+  * **structure** — dimensions and cone layout: hashable, passed to jit as a
+    static argument, drives compilation (one compiled executable per
+    structure, reused across every ``solve``/``update_data`` call and across
+    a vmapped batch axis), and
+  * **values** — the traced arrays (G, A, c, h, b) in ``problem.py``.
+
+The cone layout replaces the reference's per-cone C++ loops
+(``for (SOCone &sc : so_cones)`` all over /root/reference/src/eicos.cpp)
+with precomputed flat index arrays so that every cone operation is a single
+fused vector op over the full conic dimension ``m``:
+
+  m-vector layout: [ l LP entries | SOC_0 | SOC_1 | ... | SOC_{N-1} ]
+
+For the SOC part (length ms = m - l) we precompute the segment id of each
+entry, head masks, and gather maps — all NumPy, all baked into the compiled
+program as constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeStructure:
+    """Cone layout: l LP (positive-orthant) rows followed by SOCs of dims q."""
+
+    l: int
+    q: tuple  # tuple of ints, SOC dimensions
+
+    def __post_init__(self):
+        object.__setattr__(self, "q", tuple(int(d) for d in self.q))
+        for d in self.q:
+            if d < 1:
+                raise ValueError(f"SOC dimension must be >= 1, got {d}")
+
+    @property
+    def n_sc(self) -> int:
+        return len(self.q)
+
+    @property
+    def ms(self) -> int:
+        return int(sum(self.q))
+
+    @property
+    def m(self) -> int:
+        return self.l + self.ms
+
+    # ---- cached flat index arrays (static constants inside jit) ----
+
+    @functools.cached_property
+    def seg(self) -> np.ndarray:
+        """(ms,) int32: cone id of each SOC entry."""
+        return np.repeat(np.arange(self.n_sc, dtype=np.int32),
+                         np.asarray(self.q, dtype=np.int64))
+
+    @functools.cached_property
+    def is_head(self) -> np.ndarray:
+        """(ms,) bool: True at the first entry of each SOC."""
+        mask = np.zeros(self.ms, dtype=bool)
+        mask[self.head_offsets] = True
+        return mask
+
+    @functools.cached_property
+    def head_offsets(self) -> np.ndarray:
+        """(n_sc,) int64: offset of each cone head within the SOC part."""
+        return np.concatenate(
+            [[0], np.cumsum(np.asarray(self.q, dtype=np.int64))[:-1]]
+        ).astype(np.int64) if self.n_sc else np.zeros(0, dtype=np.int64)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemStructure:
+    """Full static description: dimensions + cone layout.
+
+    Mirrors the dimension bookkeeping of the reference
+    (/root/reference/src/eicos.cpp:148-165) minus ``dim_K``'s ``+ 2*n_sc``
+    SOC expansion — the expansion exists only to keep a *sparse* pattern
+    constant; our dense-block KKT representation doesn't need it.
+    """
+
+    n: int  # number of variables
+    p: int  # number of equality constraints
+    cone: ConeStructure
+
+    @property
+    def m(self) -> int:
+        return self.cone.m
+
+    @property
+    def l(self) -> int:
+        return self.cone.l
+
+    @property
+    def q(self) -> tuple:
+        return self.cone.q
+
+    @property
+    def n_sc(self) -> int:
+        return self.cone.n_sc
+
+    @property
+    def dim_kkt(self) -> int:
+        return self.n + self.p + self.m
+
+    @property
+    def degrees(self) -> int:
+        """Barrier degree: n_lc + n_sc (+1 for tau/kappa added by callers).
+
+        Used for mu = (s'z + kap*tau) / (degrees + 1)
+        (/root/reference/src/eicos.cpp:694).
+        """
+        return self.l + self.n_sc
+
+    @staticmethod
+    def create(n: int, p: int, m: int, l: int, q=()) -> "ProblemStructure":
+        q = tuple(int(d) for d in (q if q is not None else ()))
+        if l + sum(q) != m:
+            raise ValueError(f"l + sum(q) = {l + sum(q)} != m = {m}")
+        return ProblemStructure(n=int(n), p=int(p),
+                                cone=ConeStructure(l=int(l), q=q))

@@ -1,0 +1,31 @@
+"""Human-readable solver output (the analogue of the reference's verbose
+table and printSummary, /root/reference/src/eicos.cpp:189-206, 733-753).
+All printing is host-side, from the returned Solution — the device loop
+never syncs to print."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..exitcodes import ExitCode
+
+
+def print_summary(structure, solution) -> None:
+    info = solution.info
+    code = ExitCode(int(solution.exit_code))
+    print("- - - - - - - - - - - - - - -")
+    print("|      Problem summary      |")
+    print("- - - - - - - - - - - - - - -")
+    print(f"    Primal variables:  {structure.n}")
+    print(f"Equality constraints:  {structure.p}")
+    print(f"     Conic variables:  {structure.m}")
+    print(f"  Size of LP cone:     {structure.l}")
+    print(f"  Number of SOCs:      {structure.n_sc}")
+    print("- - - - - - - - - - - - - - -")
+    print(f"exit:   {code.name} ({int(code)})")
+    print(f"iters:  {int(info.iter)}")
+    print(f"pcost:  {float(info.pcost):+.9e}")
+    print(f"dcost:  {float(info.dcost):+.9e}")
+    print(f"gap:    {float(info.gap):.3e}   pres: {float(info.pres):.3e}"
+          f"   dres: {float(info.dres):.3e}")
+    print(f"k/t:    {float(info.kapovert):.3e}   mu: {float(info.mu):.3e}")
