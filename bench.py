@@ -1,0 +1,107 @@
+"""Benchmark: batched MPC-family LP solves/sec on one TPU chip.
+
+BASELINE.json metric: "Batched MPC01 solves/sec" — MPC01's data files are
+missing blobs in the reference snapshot, so an MPC01-family problem is
+regenerated (box-constrained linear-dynamics LP, the MPC02 family,
+/root/reference/test/MPC/MPC02.h:4-8).
+
+The CPU baseline is scipy's HiGHS (the reference EiCOS cannot be compiled
+here — no Eigen in the image — and HiGHS is a *stronger* CPU LP baseline
+than EiCOS's generic IPM, so vs_baseline is conservative).  Baseline is
+measured once and cached in baselines/highs_baseline.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# benchmark configuration (round 1: dense-KKT path; modest problem size)
+HORIZON = 40       # -> n = 240, m = 480, p = 160, dim_K = 880 (pad 896)
+NX, NU = 4, 2
+BATCH = 64
+BASELINE_PROBES = 6
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
+                              "baselines", "highs_baseline.json")
+
+
+def build_batch():
+    import eicos_tpu  # noqa: F401
+    from eicos_tpu import corpus
+    from eicos_tpu.api import BatchedSolver
+
+    rng = np.random.default_rng(7)
+    st, base = corpus.make_mpc_like(horizon=HORIZON, nx=NX, nu=NU, seed=3)
+    probs = []
+    for _ in range(BATCH):
+        c = np.asarray(base.c) + 0.02 * rng.standard_normal(st.n)
+        b = np.asarray(base.b).copy()
+        b[:NX] += 0.05 * rng.standard_normal(NX)  # perturb x0
+        probs.append(base.__class__(G=base.G, A=base.A, c=c, h=base.h, b=b))
+    return st, probs, BatchedSolver.stack(probs)
+
+
+def measure_tpu(st, batch):
+    import jax
+
+    from eicos_tpu.api import BatchedSolver
+    from eicos_tpu.settings import Settings
+
+    bs = BatchedSolver(st, Settings())
+    sols = bs.solve(batch)  # compile + warm
+    codes = np.asarray(jax.device_get(sols.exit_code))
+    n_ok = int(np.sum((codes == 0) | (codes == 10)))
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        sols = bs.solve(batch)
+        jax.block_until_ready(sols.x)
+    elapsed = (time.time() - t0) / reps
+    return BATCH / elapsed, n_ok, codes
+
+
+def measure_highs(st, probs):
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        if (cached.get("horizon") == HORIZON and cached.get("nx") == NX
+                and cached.get("nu") == NU):
+            return cached["solves_per_sec"]
+    from scipy.optimize import linprog
+
+    t0 = time.time()
+    for prob in probs[:BASELINE_PROBES]:
+        res = linprog(np.asarray(prob.c), A_ub=np.asarray(prob.G),
+                      b_ub=np.asarray(prob.h), A_eq=np.asarray(prob.A),
+                      b_eq=np.asarray(prob.b), bounds=(None, None),
+                      method="highs")
+        assert res.status == 0, res.status
+    rate = BASELINE_PROBES / (time.time() - t0)
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"horizon": HORIZON, "nx": NX, "nu": NU,
+                   "solves_per_sec": rate, "solver": "scipy-highs"}, f)
+    return rate
+
+
+def main():
+    st, probs, batch = build_batch()
+    tpu_rate, n_ok, codes = measure_tpu(st, batch)
+    if n_ok != BATCH:
+        print(f"WARNING: only {n_ok}/{BATCH} optimal; codes={codes}",
+              file=sys.stderr)
+    highs_rate = measure_highs(st, probs)
+    print(json.dumps({
+        "metric": "mpc_lp_batch_solves_per_sec",
+        "value": round(tpu_rate, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(tpu_rate / highs_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

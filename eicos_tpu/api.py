@@ -89,7 +89,8 @@ class Solver:
         sol = solve(self.structure, self._data, self.settings)
         self._solution = jax.device_get(sol)
         if verbose:
-            from .utils.printing import print_summary
+            from .utils.printing import print_iteration_table, print_summary
+            print_iteration_table(self._solution)
             print_summary(self.structure, self._solution)
         return ExitCode(int(self._solution.exit_code))
 

@@ -38,18 +38,37 @@ _NULL_RE = re.compile(r"\b(?:pfloat|idxint)\s*\*\s*(\w+)\s*=\s*NULL\s*;")
 _FLOATVAL_RE = re.compile(r"\bpfloat\s+(\w+)\s*=\s*(-?[\d.eE+-]+)\s*;")
 
 
+_ARRAY_HEAD_RE = re.compile(
+    r"\b(?:static\s+)?(?:pfloat|idxint)\s+(\w+)\s*\[\s*\d*\s*\]\s*=\s*\{")
+
+
 def parse_header(path: str) -> dict:
-    """Extract all scalar/array/NULL definitions from a C data header."""
-    with open(path) as f:
-        text = f.read()
+    """Extract all scalar/array/NULL definitions from a C data header.
+
+    Array bodies (the bulk — up to ~10^6 literals in the LPnetlib headers)
+    are scanned by the native C++ parser (native/eicos_native.cpp) when
+    available, with a regex fallback.
+    """
+    from . import native
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    text = raw.decode()
     out: dict = {}
     for name, val in _SCALAR_RE.findall(text):
         out[name] = int(val)
     for name, val in _FLOATVAL_RE.findall(text):
         out[name] = float(val)
-    for name, body in _ARRAY_RE.findall(text):
-        vals = [v for v in re.split(r"[,\s]+", body.strip()) if v]
-        out[name] = np.array([float(v) for v in vals])
+    # str offsets == byte offsets only for pure-ASCII files (always true for
+    # this corpus; guard anyway)
+    if native.available() and len(raw) == len(text):
+        for mt in _ARRAY_HEAD_RE.finditer(text):
+            vals, _ = native.parse_numbers(raw, mt.end())
+            out[mt.group(1)] = vals
+    else:
+        for name, body in _ARRAY_RE.findall(text):
+            vals = [v for v in re.split(r"[,\s]+", body.strip()) if v]
+            out[name] = np.array([float(v) for v in vals])
     for name in _NULL_RE.findall(text):
         out[name] = None
     return out

@@ -19,10 +19,10 @@ Design notes
 * The matrix is padded to a multiple of the block size B (128 = MXU tile)
   with identity diagonal; padded RHS entries are zero.
 * Diagonal blocks are factored by an unblocked rank-1 loop (B small steps on
-  the VPU), then *inverted* via a log2(B)-depth recursive block scheme (all
-  matmuls), so the subsequent panel computation and both triangular solves
-  are matmuls with the precomputed inverses — no substitution loops at
-  solve time.
+  the VPU), then *inverted* via Newton-Schulz doubling (log2(B) iterations
+  of two matmuls — exact for unit-triangular), so the subsequent panel
+  computation and both triangular solves are matmuls with the precomputed
+  inverses — no substitution loops at solve time.
 * Trailing updates run over full rows with masking (static shapes); the
   wasted flops on the already-factored region multiply zeros and keep the
   schedule fully static for XLA.
@@ -42,7 +42,10 @@ class LDLFactors(NamedTuple):
     L: jax.Array      # (D, D) unit lower triangular (diag implicit)
     d: jax.Array      # (D,) pivots
     Linv: jax.Array   # (nb, B, B) inverses of the unit-lower diagonal blocks
-    block: int
+
+    @property
+    def block(self) -> int:
+        return self.Linv.shape[-1]
 
 
 def pad_to_block(D: int, block: int = 128) -> int:
@@ -71,23 +74,20 @@ def _unblocked_ldl(M):
 
 
 def _unit_lower_inv(L):
-    """Inverse of a unit lower-triangular (B, B) block.
-
-    Recursive 2x2 block scheme, log2(B) levels of matmuls:
-        inv([[A,0],[C,B]]) = [[A^-1, 0], [-B^-1 C A^-1, B^-1]].
-    """
+    """Inverse of a unit lower-triangular (B, B) block via Newton-Schulz
+    doubling: with L = I - N (N strictly lower, nilpotent), the iteration
+    X <- X (2I - L X) starting at X = 2I - L = I + N doubles the covered
+    Neumann series each step, so after ceil(log2(B)) steps
+    X = sum_{j<B} N^j = L^{-1} *exactly* (up to rounding).
+    ceil(log2(B)) * 2 matmuls — tiny program, all MXU."""
     B = L.shape[-1]
-    if B == 1:
-        return jnp.ones_like(L)
-    h = B // 2
-    A = L[..., :h, :h]
-    C = L[..., h:, :h]
-    Bm = L[..., h:, h:]
-    Ai = _unit_lower_inv(A)
-    Bi = _unit_lower_inv(Bm)
-    top = jnp.concatenate([Ai, jnp.zeros_like(L[..., :h, h:])], axis=-1)
-    bot = jnp.concatenate([-Bi @ (C @ Ai), Bi], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    steps = max(1, int(np.ceil(np.log2(B))))
+    eye2 = 2.0 * jnp.eye(B, dtype=L.dtype)
+
+    def body(_, X):
+        return X @ (eye2 - L @ X)
+
+    return lax.fori_loop(0, steps, body, eye2 - L)
 
 
 def ldl_factor(K, block: int = 128) -> LDLFactors:
@@ -129,7 +129,7 @@ def ldl_factor(K, block: int = 128) -> LDLFactors:
         jnp.zeros((nb, B, B), dtype),
     )
     _, L, dvec, Linvs = lax.fori_loop(0, nb, body, init)
-    return LDLFactors(L=L, d=dvec, Linv=Linvs, block=B)
+    return LDLFactors(L=L, d=dvec, Linv=Linvs)
 
 
 def ldl_solve(fac: LDLFactors, rhs):

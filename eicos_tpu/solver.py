@@ -94,6 +94,26 @@ class LoopState(NamedTuple):
     iter: jax.Array
     code: jax.Array
     done: jax.Array
+    hist: History
+
+
+class History(NamedTuple):
+    """Per-iteration statistics, (iter_max+1,) arrays — the device-side
+    analogue of the reference's verbose table (updateStatistics tail,
+    /root/reference/src/eicos.cpp:733-753), returned instead of printed."""
+
+    pcost: jax.Array
+    dcost: jax.Array
+    gap: jax.Array
+    pres: jax.Array
+    dres: jax.Array
+    kapovert: jax.Array
+    mu: jax.Array
+    step: jax.Array
+    sigma: jax.Array
+    nitref1: jax.Array
+    nitref2: jax.Array
+    nitref3: jax.Array
 
 
 class Solution(NamedTuple):
@@ -105,6 +125,7 @@ class Solution(NamedTuple):
     info: Iterate         # final iterate incl. statistics (pre-backscale vars)
     pinf: jax.Array
     dinf: jax.Array
+    history: History
 
 
 def _norm(v):
@@ -182,17 +203,16 @@ def solve(structure: ProblemStructure, data: ProblemData,
 
     # ---- init: factor with identity scalings, solve the two init systems
     # (:855-993)
-    K0 = kkt.kkt_base(st, G, A, delta, settings.block)
-    K_init = kkt.kkt_assemble(st, K0, None, delta)
-    fac0 = kkt.factor_kkt(st, K_init, settings)
+    ctx = kkt.make_context(st, G, A, settings)
+    solve0 = kkt.factor(st, ctx, None, settings)
 
     rhs_init1 = jnp.concatenate([jnp.zeros((n,), f64), b, h])
-    r1 = kkt.solve_kkt(st, fac0, G, A, None, rhs_init1, settings)
+    r1 = kkt.solve_refined(st, ctx, solve0, None, rhs_init1, settings)
     x_init = r1.dx
     s_init = cones.bring_to_cone(cone, -r1.dz, settings.gamma)
 
     rhs_init2 = jnp.concatenate([-c, jnp.zeros((p + m,), f64)])
-    r2 = kkt.solve_kkt(st, fac0, G, A, None, rhs_init2, settings)
+    r2 = kkt.solve_refined(st, ctx, solve0, None, rhs_init2, settings)
     y_init = r2.dy
     z_init = cones.bring_to_cone(cone, r2.dz, settings.gamma)
 
@@ -215,12 +235,28 @@ def solve(structure: ProblemStructure, data: ProblemData,
         nitref3=jnp.asarray(0, jnp.int32),
     )
 
+    nh = settings.iter_max + 1
+    hist0 = History(
+        pcost=jnp.full((nh,), jnp.nan, f64),
+        dcost=jnp.full((nh,), jnp.nan, f64),
+        gap=jnp.full((nh,), jnp.nan, f64),
+        pres=jnp.full((nh,), jnp.nan, f64),
+        dres=jnp.full((nh,), jnp.nan, f64),
+        kapovert=jnp.full((nh,), jnp.nan, f64),
+        mu=jnp.full((nh,), jnp.nan, f64),
+        step=jnp.full((nh,), jnp.nan, f64),
+        sigma=jnp.full((nh,), jnp.nan, f64),
+        nitref1=jnp.zeros((nh,), jnp.int32),
+        nitref2=jnp.zeros((nh,), jnp.int32),
+        nitref3=jnp.zeros((nh,), jnp.int32),
+    )
     state0 = LoopState(
         it=it0, best=it0, rhs1=rhs1,
         pres_prev=jnp.asarray(jnp.finfo(f64).max, f64),
         iter=jnp.asarray(0, jnp.int32),
         code=jnp.asarray(int(ExitCode.FATAL), jnp.int32),
         done=jnp.asarray(False),
+        hist=hist0,
     )
 
     check_full = partial(_check_exit, feastol=settings.feastol,
@@ -291,6 +327,21 @@ def solve(structure: ProblemStructure, data: ProblemData,
             mu=mu, kapovert=kapovert, iter=i,
         )
 
+        hist = stt.hist._replace(
+            pcost=stt.hist.pcost.at[i].set(pcost),
+            dcost=stt.hist.dcost.at[i].set(dcost),
+            gap=stt.hist.gap.at[i].set(gap),
+            pres=stt.hist.pres.at[i].set(pres),
+            dres=stt.hist.dres.at[i].set(dres),
+            kapovert=stt.hist.kapovert.at[i].set(kapovert),
+            mu=stt.hist.mu.at[i].set(mu),
+            step=stt.hist.step.at[i].set(w.step),
+            sigma=stt.hist.sigma.at[i].set(w.sigma),
+            nitref1=stt.hist.nitref1.at[i].set(w.nitref1),
+            nitref2=stt.hist.nitref2.at[i].set(w.nitref2),
+            nitref3=stt.hist.nitref3.at[i].set(w.nitref3),
+        )
+
         # ============ exit logic ============
         # safeguard: pres explosion or negative gap (:1010-1041)
         safeguard_trip = (i > 0) & ((pres > settings.safeguard * stt.pres_prev)
@@ -338,15 +389,16 @@ def solve(structure: ProblemStructure, data: ProblemData,
 
         # ============ step computation ============
         scal, lam = cones.update_scalings(cone, w.s, w.z)
-        K = kkt.kkt_assemble(st, K0, scal, delta)
-        fac = kkt.factor_kkt(st, K, settings)
+        solve_exact = kkt.factor(st, ctx, scal, settings)
 
-        sol1 = kkt.solve_kkt(st, fac, G, A, scal, stt.rhs1, settings)
+        sol1 = kkt.solve_refined(st, ctx, solve_exact, scal, stt.rhs1,
+                                 settings)
         dx1, dy1, dz1 = sol1.dx, sol1.dy, sol1.dz
 
         # affine RHS [rx; -ry; s - rz] (:1670-1689, packed form)
         rhs_aff = jnp.concatenate([rx, -ry, w.s - rz])
-        sol2 = kkt.solve_kkt(st, fac, G, A, scal, rhs_aff, settings)
+        sol2 = kkt.solve_refined(st, ctx, solve_exact, scal, rhs_aff,
+                                 settings)
         dx2, dy2, dz2 = sol2.dx, sol2.dy, sol2.dz
 
         dtau_denom = (w.kap / w.tau - jnp.dot(c, dx1) - jnp.dot(b, dy1)
@@ -379,7 +431,8 @@ def solve(structure: ProblemStructure, data: ProblemData,
         oms = 1.0 - sigma
         rhs_comb = jnp.concatenate([oms * rx, -oms * ry,
                                     -oms * rz + W_lam_ds])
-        sol3 = kkt.solve_kkt(st, fac, G, A, scal, rhs_comb, settings)
+        sol3 = kkt.solve_refined(st, ctx, solve_exact, scal, rhs_comb,
+                                 settings)
         dx2c, dy2c, dz2c = sol3.dx, sol3.dy, sol3.dz
 
         bkap = w.kap * w.tau + dkapaff * dtauaff - sigmamu
@@ -413,10 +466,10 @@ def solve(structure: ProblemStructure, data: ProblemData,
         cont = LoopState(it=stepped, best=best, rhs1=stt.rhs1,
                          pres_prev=pres, iter=i + 1,
                          code=jnp.asarray(_NOTCONV, jnp.int32),
-                         done=jnp.asarray(False))
+                         done=jnp.asarray(False), hist=hist)
         exit_state = LoopState(it=final_it, best=stt.best, rhs1=stt.rhs1,
                                pres_prev=pres, iter=i,
-                               code=code, done=jnp.asarray(True))
+                               code=code, done=jnp.asarray(True), hist=hist)
         return _tree_where(exit_now, exit_state, cont)
 
     final = lax.while_loop(lambda s: ~s.done, body, state0)
@@ -432,4 +485,4 @@ def solve(structure: ProblemStructure, data: ProblemData,
     pinf = (code == _PINF) | (code == _PINF + _INACC)
     dinf = (code == _DINF) | (code == _DINF + _INACC)
     return Solution(exit_code=code, x=x, y=y, z=z, s=s, info=w,
-                    pinf=pinf, dinf=dinf)
+                    pinf=pinf, dinf=dinf, history=final.hist)

@@ -10,6 +10,27 @@ import numpy as np
 from ..exitcodes import ExitCode
 
 
+def print_iteration_table(solution) -> None:
+    """Reference-style per-iteration table (src/eicos.cpp:741-752), rendered
+    host-side from the returned History arrays."""
+    h = solution.history
+    n_it = int(solution.info.iter)
+    print("It     pcost       dcost      gap   pres   dres    k/t    mu"
+          "     step   sigma     IR")
+    for i in range(n_it + 1):
+        line = (f"{i:2d}  {float(h.pcost[i]):+5.3e}  "
+                f"{float(h.dcost[i]):+5.3e}  {float(h.gap[i]):+2.0e}  "
+                f"{float(h.pres[i]):2.0e}  {float(h.dres[i]):2.0e}  "
+                f"{float(h.kapovert[i]):2.0e}  {float(h.mu[i]):2.0e}")
+        if i == 0:
+            print(f"{line}    ---    ---   "
+                  f"{int(h.nitref1[i]):2d}/{int(h.nitref2[i]):2d}  -")
+        else:
+            print(f"{line}  {float(h.step[i]):6.4f}  "
+                  f"{float(h.sigma[i]):2.0e}  {int(h.nitref1[i]):2d}/"
+                  f"{int(h.nitref2[i]):2d}/{int(h.nitref3[i]):2d}")
+
+
 def print_summary(structure, solution) -> None:
     info = solution.info
     code = ExitCode(int(solution.exit_code))

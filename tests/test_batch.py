@@ -1,0 +1,74 @@
+"""Batched solving (vmap) and multi-device sharding (8 virtual CPU devices,
+set in conftest) — the TPU-native replacement for a farm of reference
+Solver instances."""
+
+import jax
+import numpy as np
+import pytest
+
+import eicos_tpu  # noqa: F401
+from eicos_tpu.api import BatchedSolver
+from eicos_tpu.parallel import make_mesh, solve_batch_sharded
+from eicos_tpu.problem import ProblemData, make_problem
+from eicos_tpu.settings import Settings
+from eicos_tpu.solver import solve
+from eicos_tpu.structure import ProblemStructure
+
+
+def random_lp_batch(batch, n=12, m=24, p=3, seed=0):
+    """Random bounded LPs sharing one structure (values vary per lane)."""
+    rng = np.random.default_rng(seed)
+    st = ProblemStructure.create(n, p, m, m, ())
+    probs = []
+    for _ in range(batch):
+        # box constraints keep every instance bounded & feasible
+        G = np.vstack([np.eye(n), -np.eye(n)]) + 0.01 * rng.standard_normal(
+            (m, n))
+        h = np.abs(rng.standard_normal(m)) + 1.0
+        A = rng.standard_normal((p, n))
+        x_feas = np.zeros(n)
+        b = A @ x_feas
+        c = rng.standard_normal(n)
+        probs.append(make_problem(st, G, A, c, h, b))
+    return st, BatchedSolver.stack(probs), probs
+
+
+def test_vmap_matches_single():
+    st, batch, probs = random_lp_batch(4)
+    bs = BatchedSolver(st, Settings())
+    sols = bs.solve(batch)
+    codes = np.asarray(sols.exit_code)
+    for i, prob in enumerate(probs):
+        single = solve(st, prob, Settings())
+        assert codes[i] == int(single.exit_code) == 0
+        np.testing.assert_allclose(np.asarray(sols.x)[i],
+                                   np.asarray(single.x),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_vmap_mixed_outcomes():
+    """Lanes converge independently: optimal + infeasible in one batch."""
+    from eicos_tpu import corpus
+
+    st, prob, _ = corpus.load("infeasible1")
+    # feasible variant: flip h to make constraints consistent
+    # infeasible1 is  -x <= -2, x <= 1 (h=[-2,1]) — set h=[2,1]: feasible
+    feasible = ProblemData(G=prob.G, A=prob.A, c=prob.c,
+                           h=np.array([2.0, 1.0]), b=prob.b)
+    batch = BatchedSolver.stack([prob, feasible])
+    sols = BatchedSolver(st, Settings()).solve(batch)
+    codes = list(np.asarray(sols.exit_code))
+    assert codes[0] == 1  # primal infeasible
+    assert codes[1] == 0  # optimal
+
+
+def test_sharded_batch():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    st, batch, probs = random_lp_batch(16)
+    mesh = make_mesh(8)
+    sols = solve_batch_sharded(st, batch, mesh, Settings())
+    codes = np.asarray(sols.exit_code)
+    assert np.all(codes == 0), codes
+    ref = solve(st, probs[5], Settings())
+    np.testing.assert_allclose(np.asarray(sols.x)[5], np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-8)
