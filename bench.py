@@ -1,9 +1,18 @@
-"""Benchmark: batched MPC-family LP solves/sec on one TPU chip.
+"""Benchmark: batched MPC01-sized LP solves/sec on one TPU chip.
 
-BASELINE.json metric: "Batched MPC01 solves/sec" — MPC01's data files are
+BASELINE.json metric: "Batched MPC01 solves/sec".  MPC01's data files are
 missing blobs in the reference snapshot, so an MPC01-family problem is
-regenerated (box-constrained linear-dynamics LP, the MPC02 family,
-/root/reference/test/MPC/MPC02.h:4-8).
+regenerated at the family's scale (n=1494, p=498, m=2988 — same class as
+MPC02: n=1496, m=3996, p=499, /root/reference/test/MPC/MPC02.h:4-8).
+
+Batch layout mirrors the reference's updateData sweep
+(/root/reference/src/run.cpp:43-50): one fixed G/A pattern+values, new
+c/b per solve — lanes share G/A/h (unbatched under vmap, so equilibration
+and the KKT base assembly happen once) and vary c, b.
+
+Solver configuration: reduced (normal-equations) KKT strategy + float32
+factorization with float64 iterative refinement — the TPU MXU path; exit
+codes and residuals match the float64 full path at 1e-8 tolerances.
 
 The CPU baseline is scipy's HiGHS (the reference EiCOS cannot be compiled
 here — no Eigen in the image — and HiGHS is a *stronger* CPU LP baseline
@@ -20,10 +29,11 @@ import time
 
 import numpy as np
 
-# benchmark configuration (round 1: dense-KKT path; modest problem size)
-HORIZON = 40       # -> n = 240, m = 480, p = 160, dim_K = 880 (pad 896)
-NX, NU = 4, 2
-BATCH = 64
+# MPC01-family scale: n = HORIZON*(NX+NU) = 1494, p = HORIZON*NX = 498
+HORIZON = 249
+NX, NU = 2, 4
+BATCH = 32          # lanes per compiled batch (HBM-bound)
+ROUNDS = 4          # timed batches; total solves = BATCH * ROUNDS
 BASELINE_PROBES = 6
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
                               "baselines", "highs_baseline.json")
@@ -42,25 +52,26 @@ def build_batch():
         b = np.asarray(base.b).copy()
         b[:NX] += 0.05 * rng.standard_normal(NX)  # perturb x0
         probs.append(base.__class__(G=base.G, A=base.A, c=c, h=base.h, b=b))
-    return st, probs, BatchedSolver.stack(probs)
+    shared = ("G", "A", "h")
+    return st, probs, BatchedSolver.stack(probs, shared=shared), shared
 
 
-def measure_tpu(st, batch):
+def measure_tpu(st, batch, shared):
     import jax
 
     from eicos_tpu.api import BatchedSolver
     from eicos_tpu.settings import Settings
 
-    bs = BatchedSolver(st, Settings())
+    settings = Settings(kkt_strategy="reduced", factor_dtype="float32")
+    bs = BatchedSolver(st, settings, shared=shared)
     sols = bs.solve(batch)  # compile + warm
     codes = np.asarray(jax.device_get(sols.exit_code))
     n_ok = int(np.sum((codes == 0) | (codes == 10)))
     t0 = time.time()
-    reps = 3
-    for _ in range(reps):
+    for _ in range(ROUNDS):
         sols = bs.solve(batch)
         jax.block_until_ready(sols.x)
-    elapsed = (time.time() - t0) / reps
+    elapsed = (time.time() - t0) / ROUNDS
     return BATCH / elapsed, n_ok, codes
 
 
@@ -89,14 +100,14 @@ def measure_highs(st, probs):
 
 
 def main():
-    st, probs, batch = build_batch()
-    tpu_rate, n_ok, codes = measure_tpu(st, batch)
+    st, probs, batch, shared = build_batch()
+    tpu_rate, n_ok, codes = measure_tpu(st, batch, shared)
     if n_ok != BATCH:
         print(f"WARNING: only {n_ok}/{BATCH} optimal; codes={codes}",
               file=sys.stderr)
     highs_rate = measure_highs(st, probs)
     print(json.dumps({
-        "metric": "mpc_lp_batch_solves_per_sec",
+        "metric": "mpc01_lp_batch_solves_per_sec",
         "value": round(tpu_rate, 3),
         "unit": "solves/s",
         "vs_baseline": round(tpu_rate / highs_rate, 3),

@@ -36,6 +36,7 @@ from .structure import ConeStructure, ProblemStructure
 from .problem import ProblemData
 from .solver import solve, Solution
 from .api import Solver, BatchedSolver
+from .io import save_problem, load_problem
 
 __version__ = "0.1.0"
 
@@ -49,4 +50,6 @@ __all__ = [
     "Solution",
     "Solver",
     "BatchedSolver",
+    "save_problem",
+    "load_problem",
 ]

@@ -113,19 +113,41 @@ class BatchedSolver:
     """vmapped batch of problems sharing one structure — the TPU-native
     replacement for a farm of ``Solver`` instances.  All lanes run one
     compiled while_loop; converged lanes freeze until the batch finishes.
+
+    ``shared`` names ProblemData fields that are identical across lanes
+    (passed unbatched): the classic updateData sweep
+    (/root/reference/src/run.cpp:43-50 — same G/A pattern and values, new
+    c/h/b per solve) maps to ``shared=("G", "A", "h")`` with batched c, b.
+    Lane-invariant work (equilibration of G/A, KKT base assembly) then
+    stays unbatched inside vmap — computed once, not per lane — and the
+    big matrices exist once in HBM instead of per lane.
     """
 
     def __init__(self, structure: ProblemStructure,
-                 settings: Settings = Settings()):
+                 settings: Settings = Settings(),
+                 shared: tuple = ()):
         self.structure = structure
         self.settings = settings
+        self.shared = tuple(shared)
+        axes = ProblemData(**{f: (None if f in self.shared else 0)
+                              for f in ("G", "A", "c", "h", "b")})
         self._vsolve = jax.jit(
-            jax.vmap(lambda d: solve(structure, d, settings)))
+            jax.vmap(lambda d: solve(structure, d, settings),
+                     in_axes=(axes,)))
 
     def solve(self, batch: ProblemData) -> Solution:
         return self._vsolve(batch)
 
     @staticmethod
-    def stack(problems) -> ProblemData:
-        return jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs), *problems)
+    def stack(problems, shared: tuple = ()) -> ProblemData:
+        """Stack per-lane problems; ``shared`` fields are taken from the
+        first problem and must be identical across lanes."""
+        first = problems[0]
+        vals = {}
+        for f in ("G", "A", "c", "h", "b"):
+            if f in shared:
+                vals[f] = getattr(first, f)
+            else:
+                vals[f] = np.stack([np.asarray(getattr(pr, f))
+                                    for pr in problems])
+        return ProblemData(**vals)

@@ -10,14 +10,22 @@ Two TPU-native strategies, both pure matmul (selected by
 operator, exactly like solveKKT's loop at :1471-1620 — up to ``nitref``
 rounds, undo-on-regression, threshold / weak-progress stops):
 
-"full"     Dense blocked LDL^T of the (n+p+m) quasidefinite matrix
+"full"     Dense blocked LDL^T of the (n+p+m) quasidefinite matrix.
+           The blocks are laid out in *elimination order* [z | x | y]:
 
-               K = [ dI   A'   G'       ]
-               =   [ A   -dI   0        ]      (d = deltastat)
-                   [ G    0   -W^2 - dI ]
+               K = [ -W^2-dI   G    0   ]
+                   [  G'       dI   A'  ]      (d = deltastat)
+                   [  0        A   -dI  ]
 
-           — the direct analogue of the reference's factorization, minus
-           the CSC expansion (unnecessary for a dense-block layout).
+           — the same operator the reference factors, but the block order
+           matters for an unpivoted dense factorization: eliminating the
+           cone block first keeps every pivot O(1) (z pivots ~ -W^2,
+           then x pivots ~ d + G'W^{-2}G, then y pivots ~ -d - A(..)A').
+           The reference gets the analogous effect from AMD ordering
+           inside Eigen's LDLT; a natural [x y z] layout would eliminate
+           the x block first with pivots = d = 7e-8, amplifying A/d to
+           ~1e8 and wiping out float64 in the trailing update at scale
+           (observed: NUMERICS exits on 880-dim MPC problems).
 
 "reduced"  Eliminate the cone block analytically.  W^{-2} has a closed
            form (diag + rank-2 per cone, cones.scale2_inv), so
@@ -77,29 +85,38 @@ def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
             K0 = K0.at[n:D, :n].set(A)
         return KKTContext(G=G, A=A, K0=K0)
 
+    # full strategy, [z | x | y] elimination order (module docstring)
     D = st.dim_kkt
     Dp = pad_to_block(D, settings.block)
     K0 = jnp.zeros((Dp, Dp), dtype)
     idx = jnp.arange(Dp)
-    diag0 = jnp.where(idx < n, delta,
-                      jnp.where(idx < n + p, -delta,
-                                jnp.where(idx < D, 0.0, 1.0)))
+    diag0 = jnp.where(idx < m, 0.0,           # z diag overwritten per factor
+                      jnp.where(idx < m + n, delta,
+                                jnp.where(idx < D, -delta, 1.0)))
     K0 = K0 + jnp.diag(diag0)
-    if p:
-        K0 = K0.at[:n, n:n + p].set(A.T)
-        K0 = K0.at[n:n + p, :n].set(A)
     if m:
-        K0 = K0.at[:n, n + p:D].set(G.T)
-        K0 = K0.at[n + p:D, :n].set(G)
+        K0 = K0.at[:m, m:m + n].set(G)
+        K0 = K0.at[m:m + n, :m].set(G.T)
+    if p:
+        K0 = K0.at[m:m + n, m + n:D].set(A.T)
+        K0 = K0.at[m + n:D, m:m + n].set(A)
     return KKTContext(G=G, A=A, K0=K0)
 
 
 def _factor_in_dtype(K, settings) -> LDLFactors:
+    """Factor in ``settings.factor_dtype``.  float32 factors stay float32:
+    the backsolves then run on the MXU at full rate (true mixed-precision
+    iterative refinement — low-precision solve, float64 residual), instead
+    of emulated-f64 matmuls."""
     if settings.factor_dtype == "float32":
-        fac = ldl_factor(K.astype(jnp.float32), block=settings.block)
-        return LDLFactors(L=fac.L.astype(K.dtype), d=fac.d.astype(K.dtype),
-                          Linv=fac.Linv.astype(K.dtype))
+        return ldl_factor(K.astype(jnp.float32), block=settings.block)
     return ldl_factor(K, block=settings.block)
+
+
+def _solve_padded(fac: LDLFactors, rr):
+    """ldl_solve in the factor dtype, result cast back to the rhs dtype."""
+    out = ldl_solve(fac, rr.astype(fac.L.dtype))
+    return out.astype(rr.dtype)
 
 
 def factor(st: ProblemStructure, ctx: KKTContext,
@@ -117,6 +134,12 @@ def factor(st: ProblemStructure, ctx: KKTContext,
     if settings.kkt_strategy == "reduced":
         D = n + p
         Dp = ctx.K0.shape[-1]
+        # In float32 mode the H = G'W^{-2}G product — the largest matmul of
+        # an iteration — runs on the MXU in f32 (W^{-2}G itself is cheap
+        # elementwise work and stays f64).  The factor consumes f32 anyway;
+        # refinement against the f64 operator absorbs the rounding.
+        fdtype = (jnp.float32 if settings.factor_dtype == "float32"
+                  else G.dtype)
 
         def w2inv(v):
             return v if scal is None else cones.scale2_inv(st.cone, scal, v)
@@ -125,41 +148,52 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             WiG = (G if scal is None
                    else jax.vmap(lambda col: cones.scale2_inv(
                        st.cone, scal, col), in_axes=1, out_axes=1)(G))
-            H = G.T @ WiG + delta * jnp.eye(n, dtype=G.dtype)
+            with jax.default_matmul_precision("highest"):
+                H = (G.astype(fdtype).T @ WiG.astype(fdtype)
+                     + delta * jnp.eye(n, dtype=fdtype))
         else:
-            H = delta * jnp.eye(n, dtype=G.dtype)
-        K = ctx.K0.at[:n, :n].set(H)
-        fac = _factor_in_dtype(K, settings)
+            H = delta * jnp.eye(n, dtype=fdtype)
+        K = ctx.K0.astype(fdtype).at[:n, :n].set(H)
+        fac = ldl_factor(K, block=settings.block)
+
+        w2inv_rows = (w2inv if scal is None
+                      else jax.vmap(lambda v: cones.scale2_inv(
+                          st.cone, scal, v)))
 
         def solve_exact(rhs):
-            bx, by, bz = rhs[:n], rhs[n:n + p], rhs[n + p:]
-            r1 = bx + (w2inv(bz) @ G if m else 0.0)
-            rr = jnp.zeros((Dp,), rhs.dtype).at[:D].set(
-                jnp.concatenate([r1, by]))
-            x = ldl_solve(fac, rr)
-            dx = x[:n]
-            dy = x[n:D]
-            dz = w2inv(G @ dx - bz) if m else bz
+            # rhs: (k, n+p+m) packed rows -> (dx, dy, dz) each (k, .)
+            bx, by, bz = rhs[:, :n], rhs[:, n:n + p], rhs[:, n + p:]
+            r1 = bx + (w2inv_rows(bz) @ G if m else 0.0)
+            rr = jnp.zeros((Dp, rhs.shape[0]), rhs.dtype).at[:D].set(
+                jnp.concatenate([r1, by], axis=1).T)
+            x = _solve_padded(fac, rr)
+            dx = x[:n].T
+            dy = x[n:D].T
+            dz = w2inv_rows(dx @ G.T - bz) if m else bz
             return dx, dy, dz
 
         return solve_exact
 
-    # ---- full strategy
+    # ---- full strategy, [z | x | y] layout
     D = st.dim_kkt
     Dp = ctx.K0.shape[-1]
     if m:
         W2 = (jnp.eye(m, dtype=G.dtype) if scal is None
               else cones.w2_dense(st.cone, scal, G.dtype))
         blk = -W2 - delta * jnp.eye(m, dtype=G.dtype)
-        K = ctx.K0.at[n + p:D, n + p:D].set(blk)
+        K = ctx.K0.at[:m, :m].set(blk)
     else:
         K = ctx.K0
     fac = _factor_in_dtype(K, settings)
 
     def solve_exact(rhs):
-        rr = jnp.zeros((Dp,), rhs.dtype).at[:D].set(rhs)
-        x = ldl_solve(fac, rr)
-        return x[:n], x[n:n + p], x[n + p:D]
+        # rhs: (k, n+p+m) packed rows -> (dx, dy, dz) each (k, .)
+        bx, by, bz = rhs[:, :n], rhs[:, n:n + p], rhs[:, n + p:]
+        rr = jnp.zeros((Dp, rhs.shape[0]), rhs.dtype)
+        rr = (rr.at[:m].set(bz.T).at[m:m + n].set(bx.T)
+              .at[m + n:D].set(by.T))
+        x = _solve_padded(fac, rr)
+        return x[m:m + n].T, x[m + n:D].T, x[:m].T
 
     return solve_exact
 
@@ -189,18 +223,28 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
                   settings) -> KKTSolveResult:
     """Backsolve + iterative refinement against the exact (regularized)
     operator.  Reference: solveKKT, /root/reference/src/eicos.cpp:1471-1620.
+
+    ``rhs`` is a stack of packed right-hand sides, shape (k, n+p+m): all k
+    systems share one factorization, so the backsolves are (D, B) @ (B, k)
+    matmuls and the refinement runs as ONE loop with per-column stopping —
+    each column follows exactly the reference's per-solve criteria
+    (threshold / undo-on-regression / weak-progress), frozen independently.
     """
     n, p, m = st.n, st.p, st.m
     delta = settings.deltastat
     # the reduced operator has no deltastat on the cone rows (module doc)
     dz_reg = 0.0 if settings.kkt_strategy == "reduced" else delta
     f64 = rhs.dtype
+    K = rhs.shape[0]
     G, A = ctx.G, ctx.A
 
-    bx, by, bz = rhs[:n], rhs[n:n + p], rhs[n + p:]
+    bx, by, bz = rhs[:, :n], rhs[:, n:n + p], rhs[:, n + p:]
 
     if st.dim_kkt == 0:
-        return KKTSolveResult(bx, by, bz, jnp.asarray(0, jnp.int32))
+        return KKTSolveResult(bx, by, bz, jnp.zeros((K,), jnp.int32))
+
+    scale2_rows = (None if (m == 0 or scal is None)
+                   else jax.vmap(lambda v: cones.scale2(st.cone, scal, v)))
 
     def residual(dx, dy, dz):
         # ex = bx - G'dz - A'dy - d*dx   (:1514-1521)
@@ -208,53 +252,60 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
         if p:
             ex = ex - dy @ A
         # ey = by - A dx + d*dy          (:1524-1531)
-        ey = by - A @ dx + delta * dy if p else by
+        ey = by - dx @ A.T + delta * dy if p else by
         # ez = bz - G dx + W^2 dz (+ d*dz on the full operator)
         if m:
-            Wdz = dz if scal is None else cones.scale2(st.cone, scal, dz)
-            ez = bz - G @ dx + Wdz + dz_reg * dz
+            Wdz = dz if scale2_rows is None else scale2_rows(dz)
+            ez = bz - dx @ G.T + Wdz + dz_reg * dz
         else:
             ez = bz
-        nerr = jnp.max(jnp.abs(ex)) if n else jnp.asarray(0.0, f64)
+        nerr = (jnp.max(jnp.abs(ex), axis=1) if n
+                else jnp.zeros((K,), f64))
         if m:
-            nerr = jnp.maximum(nerr, jnp.max(jnp.abs(ez)))
+            nerr = jnp.maximum(nerr, jnp.max(jnp.abs(ez), axis=1))
         if p:
-            nerr = jnp.maximum(nerr, jnp.max(jnp.abs(ey)))
+            nerr = jnp.maximum(nerr, jnp.max(jnp.abs(ey), axis=1))
         return ex, ey, ez, nerr
 
     dx0, dy0, dz0 = solve_exact(rhs)
-    thresh = (1.0 + jnp.max(jnp.abs(rhs))) * settings.linsysacc
+    thresh = (1.0 + jnp.max(jnp.abs(rhs), axis=1)) * settings.linsysacc
     nitref = settings.nitref
     irerrfact = settings.irerrfact
 
     def body(c: _IRCarry):
         ex, ey, ez, nerr = residual(c.dx, c.dy, c.dz)
-        undo = (c.k > 0) & (nerr > c.nerr_prev)
-        stop = (undo | (c.k == nitref) | (nerr < thresh)
-                | ((c.k > 0) & (c.nerr_prev < irerrfact * nerr)))
-        rx, ry, rz = solve_exact(jnp.concatenate([ex, ey, ez]))
-        keep = lambda cur, und, nxt: jnp.where(  # noqa: E731
-            undo, und, jnp.where(stop, cur, nxt))
-        out = _IRCarry(
-            dx=keep(c.dx, c.dx - c.rx, c.dx + rx),
-            dy=keep(c.dy, c.dy - c.ry, c.dy + ry),
-            dz=keep(c.dz, c.dz - c.rz, c.dz + rz),
-            rx=rx, ry=ry, rz=rz,
-            nerr_prev=nerr,
+        active = ~c.done
+        undo = active & (c.k > 0) & (nerr > c.nerr_prev)
+        stop = active & (undo | (c.k == nitref) | (nerr < thresh)
+                         | ((c.k > 0) & (c.nerr_prev < irerrfact * nerr)))
+        rx, ry, rz = solve_exact(jnp.concatenate([ex, ey, ez], axis=1))
+        um = undo[:, None]
+        advm = (active & ~stop)[:, None]
+
+        def step(cur, und, nxt, corr_new, corr_old):
+            new = jnp.where(um, und, jnp.where(advm, nxt, cur))
+            corr = jnp.where(advm, corr_new, corr_old)
+            return new, corr
+
+        dx, rx_s = step(c.dx, c.dx - c.rx, c.dx + rx, rx, c.rx)
+        dy, ry_s = step(c.dy, c.dy - c.ry, c.dy + ry, ry, c.ry)
+        dz, rz_s = step(c.dz, c.dz - c.rz, c.dz + rz, rz, c.rz)
+        return _IRCarry(
+            dx=dx, dy=dy, dz=dz, rx=rx_s, ry=ry_s, rz=rz_s,
+            nerr_prev=jnp.where(active, nerr, c.nerr_prev),
             k=c.k + 1,
-            kout=jnp.where(undo, c.k - 1, c.k),
-            done=stop,
+            kout=jnp.where(active, jnp.where(undo, c.k - 1, c.k), c.kout),
+            done=c.done | stop,
         )
-        return out
 
     init = _IRCarry(
         dx=dx0, dy=dy0, dz=dz0,
         rx=jnp.zeros_like(dx0), ry=jnp.zeros_like(dy0),
         rz=jnp.zeros_like(dz0),
-        nerr_prev=jnp.asarray(jnp.inf, f64),
+        nerr_prev=jnp.full((K,), jnp.inf, f64),
         k=jnp.asarray(0, jnp.int32),
-        kout=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
+        kout=jnp.zeros((K,), jnp.int32),
+        done=jnp.zeros((K,), bool),
     )
-    out = lax.while_loop(lambda c: ~c.done, body, init)
+    out = lax.while_loop(lambda c: ~jnp.all(c.done), body, init)
     return KKTSolveResult(dx=out.dx, dy=out.dy, dz=out.dz, nitref=out.kout)

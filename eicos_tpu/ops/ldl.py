@@ -91,7 +91,17 @@ def _unit_lower_inv(L):
 
 
 def ldl_factor(K, block: int = 128) -> LDLFactors:
-    """Factor padded symmetric K (D, D), D a multiple of ``block``."""
+    """Factor padded symmetric K (D, D), D a multiple of ``block``.
+
+    All matmuls run at ``highest`` precision: on TPU, float32 inputs
+    otherwise go through single-pass bfloat16 MXU matmuls (eps ~ 8e-3),
+    which destroys the factorization quality that iterative refinement
+    depends on.  ``highest`` keeps true-f32 accuracy on the MXU."""
+    with jax.default_matmul_precision("highest"):
+        return _ldl_factor_impl(K, block)
+
+
+def _ldl_factor_impl(K, block: int) -> LDLFactors:
     D = K.shape[-1]
     B = block
     assert D % B == 0, (D, B)
@@ -133,23 +143,34 @@ def ldl_factor(K, block: int = 128) -> LDLFactors:
 
 
 def ldl_solve(fac: LDLFactors, rhs):
-    """Solve K x = rhs for one padded RHS (D,)."""
+    """Solve K x = rhs for padded RHS of shape (D,) or (D, k).
+
+    Multi-RHS turns both triangular sweeps into (D, B) @ (B, k) matmuls —
+    one compiled program serves every solve in an IPM iteration."""
+    with jax.default_matmul_precision("highest"):
+        return _ldl_solve_impl(fac, rhs)
+
+
+def _ldl_solve_impl(fac: LDLFactors, rhs):
     L, dvec, Linvs, B = fac.L, fac.d, fac.Linv, fac.block
     D = L.shape[-1]
     nb = D // B
     ridx = np.arange(D)
+    single = rhs.ndim == 1
+    x0 = rhs[:, None] if single else rhs
+    k_rhs = x0.shape[1]
 
     def fwd(k, x):
         off = k * B
-        xb = lax.dynamic_slice(x, (off,), (B,))
+        xb = lax.dynamic_slice(x, (off, 0), (B, k_rhs))
         xb = Linvs[k] @ xb
-        x = lax.dynamic_update_slice(x, xb, (off,))
+        x = lax.dynamic_update_slice(x, xb, (off, 0))
         panel = lax.dynamic_slice(L, (0, off), (D, B))
         below = (ridx >= off + B)[:, None]
         return x - jnp.where(below, panel, 0.0) @ xb
 
-    x = lax.fori_loop(0, nb, fwd, rhs)
-    x = x / dvec
+    x = lax.fori_loop(0, nb, fwd, x0)
+    x = x / dvec[:, None]
 
     def bwd(i, x):
         k = nb - 1 - i
@@ -157,8 +178,9 @@ def ldl_solve(fac: LDLFactors, rhs):
         panel = lax.dynamic_slice(L, (0, off), (D, B))
         below = (ridx >= off + B)[:, None]
         contrib = jnp.where(below, panel, 0.0).T @ x
-        xb = lax.dynamic_slice(x, (off,), (B,))
+        xb = lax.dynamic_slice(x, (off, 0), (B, k_rhs))
         xb = Linvs[k].T @ (xb - contrib)
-        return lax.dynamic_update_slice(x, xb, (off,))
+        return lax.dynamic_update_slice(x, xb, (off, 0))
 
-    return lax.fori_loop(0, nb, bwd, x)
+    x = lax.fori_loop(0, nb, bwd, x)
+    return x[:, 0] if single else x

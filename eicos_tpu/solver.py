@@ -206,15 +206,15 @@ def solve(structure: ProblemStructure, data: ProblemData,
     ctx = kkt.make_context(st, G, A, settings)
     solve0 = kkt.factor(st, ctx, None, settings)
 
-    rhs_init1 = jnp.concatenate([jnp.zeros((n,), f64), b, h])
-    r1 = kkt.solve_refined(st, ctx, solve0, None, rhs_init1, settings)
-    x_init = r1.dx
-    s_init = cones.bring_to_cone(cone, -r1.dz, settings.gamma)
-
-    rhs_init2 = jnp.concatenate([-c, jnp.zeros((p + m,), f64)])
-    r2 = kkt.solve_refined(st, ctx, solve0, None, rhs_init2, settings)
-    y_init = r2.dy
-    z_init = cones.bring_to_cone(cone, r2.dz, settings.gamma)
+    rhs_init = jnp.stack([
+        jnp.concatenate([jnp.zeros((n,), f64), b, h]),
+        jnp.concatenate([-c, jnp.zeros((p + m,), f64)]),
+    ])
+    r12 = kkt.solve_refined(st, ctx, solve0, None, rhs_init, settings)
+    x_init = r12.dx[0]
+    s_init = cones.bring_to_cone(cone, -r12.dz[0], settings.gamma)
+    y_init = r12.dy[1]
+    z_init = cones.bring_to_cone(cone, r12.dz[1], settings.gamma)
 
     rhs1 = jnp.concatenate([-c, b, h])  # (:980)
 
@@ -231,7 +231,7 @@ def solve(structure: ProblemStructure, data: ProblemData,
         dinfres=nan, has_dinfres=jnp.asarray(False),
         mu=nan, kapovert=nan, sigma=zero, step=zero, step_aff=zero,
         iter=jnp.asarray(0, jnp.int32),
-        nitref1=r1.nitref, nitref2=r2.nitref,
+        nitref1=r12.nitref[0], nitref2=r12.nitref[1],
         nitref3=jnp.asarray(0, jnp.int32),
     )
 
@@ -391,15 +391,14 @@ def solve(structure: ProblemStructure, data: ProblemData,
         scal, lam = cones.update_scalings(cone, w.s, w.z)
         solve_exact = kkt.factor(st, ctx, scal, settings)
 
-        sol1 = kkt.solve_refined(st, ctx, solve_exact, scal, stt.rhs1,
-                                 settings)
-        dx1, dy1, dz1 = sol1.dx, sol1.dy, sol1.dz
-
-        # affine RHS [rx; -ry; s - rz] (:1670-1689, packed form)
+        # rhs1 and the affine RHS [rx; -ry; s - rz] (:1670-1689, packed
+        # form) are independent: one stacked 2-column refined solve.
         rhs_aff = jnp.concatenate([rx, -ry, w.s - rz])
-        sol2 = kkt.solve_refined(st, ctx, solve_exact, scal, rhs_aff,
-                                 settings)
-        dx2, dy2, dz2 = sol2.dx, sol2.dy, sol2.dz
+        sol12 = kkt.solve_refined(
+            st, ctx, solve_exact, scal, jnp.stack([stt.rhs1, rhs_aff]),
+            settings)
+        dx1, dy1, dz1 = sol12.dx[0], sol12.dy[0], sol12.dz[0]
+        dx2, dy2, dz2 = sol12.dx[1], sol12.dy[1], sol12.dz[1]
 
         dtau_denom = (w.kap / w.tau - jnp.dot(c, dx1) - jnp.dot(b, dy1)
                       - jnp.dot(h, dz1))
@@ -431,9 +430,9 @@ def solve(structure: ProblemStructure, data: ProblemData,
         oms = 1.0 - sigma
         rhs_comb = jnp.concatenate([oms * rx, -oms * ry,
                                     -oms * rz + W_lam_ds])
-        sol3 = kkt.solve_refined(st, ctx, solve_exact, scal, rhs_comb,
-                                 settings)
-        dx2c, dy2c, dz2c = sol3.dx, sol3.dy, sol3.dz
+        sol3 = kkt.solve_refined(st, ctx, solve_exact, scal,
+                                 rhs_comb[None, :], settings)
+        dx2c, dy2c, dz2c = sol3.dx[0], sol3.dy[0], sol3.dz[0]
 
         bkap = w.kap * w.tau + dkapaff * dtauaff - sigmamu
         dtau = (oms * rt - bkap / w.tau + jnp.dot(c, dx2c)
@@ -460,7 +459,8 @@ def solve(structure: ProblemStructure, data: ProblemData,
             kap=w.kap + step * dkap,
             tau=w.tau + step * dtau,
             sigma=sigma, step=step, step_aff=step_aff,
-            nitref1=sol1.nitref, nitref2=sol2.nitref, nitref3=sol3.nitref,
+            nitref1=sol12.nitref[0], nitref2=sol12.nitref[1],
+            nitref3=sol3.nitref[0],
         )
 
         cont = LoopState(it=stepped, best=best, rhs1=stt.rhs1,

@@ -62,6 +62,32 @@ def test_vmap_mixed_outcomes():
     assert codes[1] == 0  # optimal
 
 
+def test_shared_fields_batch():
+    """BatchedSolver(shared=...): lanes share G/A/h (the updateData sweep
+    pattern, /root/reference/src/run.cpp:43-50) and must match the fully
+    batched result."""
+    st, batch_full, probs = random_lp_batch(3, seed=2)
+    # rebuild lanes over ONE G/A/h (vary only c, b)
+    base = probs[0]
+    rng = np.random.default_rng(5)
+    lanes = []
+    for _ in range(3):
+        c = np.asarray(base.c) + 0.1 * rng.standard_normal(st.n)
+        lanes.append(ProblemData(G=base.G, A=base.A, c=c, h=base.h,
+                                 b=base.b))
+    shared = ("G", "A", "h")
+    batch = BatchedSolver.stack(lanes, shared=shared)
+    assert np.asarray(batch.G).ndim == 2  # unbatched
+    sols = BatchedSolver(st, Settings(), shared=shared).solve(batch)
+    codes = np.asarray(sols.exit_code)
+    assert np.all(codes == 0), codes
+    for i, prob in enumerate(lanes):
+        single = solve(st, prob, Settings())
+        np.testing.assert_allclose(np.asarray(sols.x)[i],
+                                   np.asarray(single.x),
+                                   rtol=1e-6, atol=1e-8)
+
+
 def test_sharded_batch():
     assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
     st, batch, probs = random_lp_batch(16)

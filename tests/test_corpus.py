@@ -22,9 +22,9 @@ FULL = ["lp_beaconfd", "lp_bandm", "lp_agg", "lp_agg2", "lp_agg3",
         "lp_bnl1", "lp_25fv47", "MPC02"]
 
 
-def _run(name):
+def _run(name, settings=Settings()):
     st, prob, expected = corpus.load(name)
-    sol = solve(st, prob, Settings())
+    sol = solve(st, prob, settings)
     code = int(sol.exit_code)
     assert code in [int(e) for e in expected], (
         f"{name}: exit {code}, expected {[int(e) for e in expected]} "
@@ -64,7 +64,23 @@ def test_medium(name):
 @pytest.mark.full
 @pytest.mark.parametrize("name", FULL)
 def test_full(name):
-    _run(name)
+    # the reduced strategy factors (n+p) instead of (n+p+m): the only
+    # tractable dense path for the largest corpus problems (lp_25fv47's
+    # full KKT is 13k-dim); exit-code parity of "full" is covered by the
+    # small/medium suites and the strategy-parity tests.
+    _run(name, Settings(kkt_strategy="reduced"))
+
+
+@pytest.mark.parametrize("name", ["feas", "issue98", "lp_afiro"])
+@pytest.mark.parametrize("strategy,fdtype", [("reduced", "float64"),
+                                             ("reduced", "float32")])
+def test_kkt_strategies_parity(name, strategy, fdtype):
+    """The reduced (normal-equations) KKT strategy and float32 factorization
+    + float64 refinement must reach the same exit codes at 1e-8 tolerances
+    as the full quasidefinite path — this is the TPU MXU configuration."""
+    st, prob, sol = _run(name, Settings(kkt_strategy=strategy,
+                                        factor_dtype=fdtype))
+    _check_lp_objective(st, prob, sol)
 
 
 def test_update_data():

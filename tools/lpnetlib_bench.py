@@ -1,0 +1,92 @@
+"""LPnetlib wall-clock + iteration-count table (BASELINE.md metric 2).
+
+Solves each embedded LPnetlib problem at 1e-8 tolerances, recording exit
+code, iterations, steady-state solve wall-clock (executable cached), and
+the objective cross-checked against scipy/HiGHS.  Writes
+baselines/lpnetlib_results.json and prints a table.
+
+Usage:  python tools/lpnetlib_bench.py [--cpu] [--strategy reduced]
+                                       [--problems lp_afiro,lp_blend]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALL = ["lp_afiro", "lp_adlittle", "lp_blend", "lp_beaconfd", "lp_bandm",
+       "lp_agg", "lp_agg2", "lp_agg3", "lp_bnl1", "lp_25fv47"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--strategy", default="reduced")
+    ap.add_argument("--factor-dtype", default="float32")
+    ap.add_argument("--problems", default=",".join(ALL))
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import eicos_tpu
+    from eicos_tpu import corpus
+    from eicos_tpu.settings import Settings
+    from eicos_tpu.solver import solve
+
+    settings = Settings(kkt_strategy=args.strategy,
+                        factor_dtype=args.factor_dtype)
+    rows = []
+    print(f"{'problem':14s} {'n':>6s} {'m':>6s} {'p':>5s} "
+          f"{'exit':>5s} {'iters':>5s} {'compile_s':>9s} {'solve_ms':>9s} "
+          f"{'obj_rel_err':>11s}")
+    for name in args.problems.split(","):
+        st, prob, expected = corpus.load(name)
+        t0 = time.time()
+        sol = solve(st, prob, settings)
+        jax.block_until_ready(sol.x)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        sol = solve(st, prob, settings)
+        jax.block_until_ready(sol.x)
+        solve_ms = 1e3 * (time.time() - t0)
+        code = int(sol.exit_code)
+        iters = int(sol.info.iter)
+
+        rel = float("nan")
+        if code in (0, 10):
+            from scipy.optimize import linprog
+            res = linprog(np.asarray(prob.c), A_ub=np.asarray(prob.G),
+                          b_ub=np.asarray(prob.h),
+                          A_eq=np.asarray(prob.A) if st.p else None,
+                          b_eq=np.asarray(prob.b) if st.p else None,
+                          bounds=(None, None), method="highs")
+            if res.status == 0:
+                ours = float(np.asarray(prob.c) @ np.asarray(sol.x))
+                rel = abs(ours - res.fun) / max(1.0, abs(res.fun))
+        rows.append(dict(problem=name, n=st.n, m=st.m, p=st.p, exit=code,
+                         iters=iters, compile_s=round(compile_s, 2),
+                         solve_ms=round(solve_ms, 2),
+                         obj_rel_err=None if np.isnan(rel) else rel))
+        print(f"{name:14s} {st.n:6d} {st.m:6d} {st.p:5d} "
+              f"{code:5d} {iters:5d} {compile_s:9.2f} {solve_ms:9.2f} "
+              f"{rel:11.2e}")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "baselines", "lpnetlib_results.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(dict(settings=dict(strategy=args.strategy,
+                                     factor_dtype=args.factor_dtype,
+                                     backend=jax.default_backend()),
+                       rows=rows), f, indent=1)
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()
