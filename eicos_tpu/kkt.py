@@ -40,6 +40,14 @@ rounds, undo-on-regression, threshold / weak-progress stops):
            the cone rows; the refinement residual is computed against that
            operator (ez without the d*dz term), keeping the scheme exact.
 
+           Caveat: normal equations square the conditioning of the cone
+           scaling.  Near a *dual-infeasibility certificate with active
+           SOCs* (iterates diverge to the cone boundary, W^{-2} blows up)
+           the reduced path can exit NUMERICS where "full" produces the
+           certificate (observed on the reference's unboundedMaxSqrt).
+           "full" is therefore the parity default; "reduced" is the speed
+           path for feasible/optimal workloads (MPC sweeps, batch serving).
+
 The refinement residual here is sign-consistent with the factored operator
 on every row; the reference flips the deltastat sign on the last row of
 each SOC (src/eicos.cpp:1552) as an artifact of its expansion — a O(7e-8)
@@ -140,37 +148,50 @@ def factor(st: ProblemStructure, ctx: KKTContext,
         # refinement against the f64 operator absorbs the rounding.
         fdtype = (jnp.float32 if settings.factor_dtype == "float32"
                   else G.dtype)
-
-        def w2inv(v):
-            return v if scal is None else cones.scale2_inv(st.cone, scal, v)
+        Gf = G.astype(fdtype)
+        scal_f = (scal if (scal is None or fdtype == G.dtype)
+                  else jax.tree_util.tree_map(
+                      lambda a: a.astype(fdtype), scal))
 
         if m:
-            WiG = (G if scal is None
+            # W^{-2}G and the G'(W^{-2}G) product run entirely in the
+            # factor dtype: in f32 mode this avoids materializing an
+            # (m, n) float64 intermediate (emulated-f64 elementwise is the
+            # cost, not the matmul).  The factor consumes f32 anyway;
+            # refinement against the f64 operator absorbs the rounding.
+            WiG = (Gf if scal is None
                    else jax.vmap(lambda col: cones.scale2_inv(
-                       st.cone, scal, col), in_axes=1, out_axes=1)(G))
+                       st.cone, scal_f, col), in_axes=1, out_axes=1)(Gf))
             with jax.default_matmul_precision("highest"):
-                H = (G.astype(fdtype).T @ WiG.astype(fdtype)
-                     + delta * jnp.eye(n, dtype=fdtype))
+                H = Gf.T @ WiG + delta * jnp.eye(n, dtype=fdtype)
         else:
             H = delta * jnp.eye(n, dtype=fdtype)
         K = ctx.K0.astype(fdtype).at[:n, :n].set(H)
         fac = ldl_factor(K, block=settings.block)
 
-        w2inv_rows = (w2inv if scal is None
-                      else jax.vmap(lambda v: cones.scale2_inv(
-                          st.cone, scal, v)))
+        # The whole approximate solve — RHS reduction, backsolve, cone-block
+        # reconstruction — runs in the factor dtype: iterative refinement
+        # only needs the *outer* residual in f64, so in f32 mode the
+        # reduction/expansion matmuls ride the MXU instead of emulated-f64
+        # VPU (the dominant per-iteration cost at MPC scale).
+        w2inv_rows_f = ((lambda v: v) if scal is None
+                        else jax.vmap(lambda v: cones.scale2_inv(
+                            st.cone, scal_f, v)))
 
         def solve_exact(rhs):
             # rhs: (k, n+p+m) packed rows -> (dx, dy, dz) each (k, .)
-            bx, by, bz = rhs[:, :n], rhs[:, n:n + p], rhs[:, n + p:]
-            r1 = bx + (w2inv_rows(bz) @ G if m else 0.0)
-            rr = jnp.zeros((Dp, rhs.shape[0]), rhs.dtype).at[:D].set(
-                jnp.concatenate([r1, by], axis=1).T)
-            x = _solve_padded(fac, rr)
-            dx = x[:n].T
-            dy = x[n:D].T
-            dz = w2inv_rows(dx @ G.T - bz) if m else bz
-            return dx, dy, dz
+            rhs_f = rhs.astype(fdtype)
+            bx, by, bz = rhs_f[:, :n], rhs_f[:, n:n + p], rhs_f[:, n + p:]
+            with jax.default_matmul_precision("highest"):
+                r1 = bx + (w2inv_rows_f(bz) @ Gf if m else 0.0)
+                rr = jnp.zeros((Dp, rhs.shape[0]), fdtype).at[:D].set(
+                    jnp.concatenate([r1, by], axis=1).T)
+                x = ldl_solve(fac, rr)
+                dx = x[:n].T
+                dy = x[n:D].T
+                dz = w2inv_rows_f(dx @ Gf.T - bz) if m else bz
+            return (dx.astype(rhs.dtype), dy.astype(rhs.dtype),
+                    dz.astype(rhs.dtype))
 
         return solve_exact
 
