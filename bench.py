@@ -32,8 +32,8 @@ import numpy as np
 # MPC01-family scale: n = HORIZON*(NX+NU) = 1494, p = HORIZON*NX = 498
 HORIZON = 249
 NX, NU = 2, 4
-BATCH = 32          # lanes per compiled batch (HBM-bound)
-ROUNDS = 4          # timed batches; total solves = BATCH * ROUNDS
+BATCH = 128         # lanes per compiled batch (HBM-bound)
+ROUNDS = 3          # timed batches; total solves = BATCH * ROUNDS
 BASELINE_PROBES = 6
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
                               "baselines", "highs_baseline.json")
