@@ -70,7 +70,9 @@ def measure_tpu(st, batch, shared):
     t0 = time.time()
     for _ in range(ROUNDS):
         sols = bs.solve(batch)
-        jax.block_until_ready(sols.x)
+        # force a real device->host fetch: through the TPU tunnel,
+        # block_until_ready alone does not guarantee execution completed
+        float(jax.device_get(sols.x[0, 0]))
     elapsed = (time.time() - t0) / ROUNDS
     return BATCH / elapsed, n_ok, codes
 

@@ -123,7 +123,7 @@ def _factor_in_dtype(K, settings) -> LDLFactors:
 
 def _solve_padded(fac: LDLFactors, rr):
     """ldl_solve in the factor dtype, result cast back to the rhs dtype."""
-    out = ldl_solve(fac, rr.astype(fac.L.dtype))
+    out = ldl_solve(fac, rr.astype(fac.Linv.dtype))
     return out.astype(rr.dtype)
 
 

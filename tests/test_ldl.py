@@ -32,18 +32,21 @@ def pad(K, block=128):
     return Kp
 
 
-@pytest.mark.parametrize("D,npos", [(40, 17), (130, 60), (300, 120)])
+@pytest.mark.parametrize("D,npos", [(40, 17), (130, 60), (300, 120),
+                                    (513, 200)])
 def test_factor_reconstruction(D, npos, rng):
     K = random_quasidefinite(D, npos, rng)
     Kp = pad(K)
     fac = ldl_factor(jnp.asarray(Kp))
-    L = np.asarray(fac.L)
+    Linv = np.asarray(fac.Linv)
     d = np.asarray(fac.d)
+    # K = L D L' with L = Linv^{-1}
+    L = np.linalg.inv(Linv)
     rec = (L * d[None, :]) @ L.T
-    np.testing.assert_allclose(rec, Kp, rtol=1e-9, atol=1e-9)
-    # unit lower triangular
-    assert np.allclose(np.triu(L, 1), 0.0)
-    assert np.allclose(np.diag(L), 1.0)
+    np.testing.assert_allclose(rec, Kp, rtol=1e-8, atol=1e-8)
+    # Linv unit lower triangular
+    assert np.allclose(np.triu(Linv, 1), 0.0)
+    assert np.allclose(np.diag(Linv), 1.0)
     # quasidefinite sign pattern: first npos pivots +, rest - (padding +)
     assert np.all(d[:npos] > 0)
     assert np.all(d[npos:D] < 0)
