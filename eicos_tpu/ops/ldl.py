@@ -92,12 +92,22 @@ def _unit_lower_inv(L):
     return lax.fori_loop(0, steps, body, eye2 - L)
 
 
-def _ldl_rec(K, block: int):
+def _leaf(K, use_pallas: bool):
+    """(block, block) leaf -> (Linv, d)."""
+    if use_pallas and K.shape[-1] == 128 and K.dtype == jnp.float32:
+        from .pallas_leaf import leaf_ldl_pallas
+
+        Linv, d = leaf_ldl_pallas(K[None])
+        return Linv[0], d[0]
+    L, d = _unblocked_ldl(K)
+    return _unit_lower_inv(L), d
+
+
+def _ldl_rec(K, block: int, use_pallas: bool):
     """Returns (Linv, d) for symmetric K (D, D), D a multiple of block."""
     D = K.shape[-1]
     if D <= block:
-        L, d = _unblocked_ldl(K)
-        return _unit_lower_inv(L), d
+        return _leaf(K, use_pallas)
 
     nb = D // block
     h = (nb // 2) * block  # split point (multiple of block)
@@ -105,11 +115,11 @@ def _ldl_rec(K, block: int):
     K21 = K[h:, :h]
     K22 = K[h:, h:]
 
-    L11inv, d1 = _ldl_rec(K11, block)
+    L11inv, d1 = _ldl_rec(K11, block, use_pallas)
     # K21 = L21 D1 L11^T  =>  L21 = K21 L11^{-T} D1^{-1}
     L21 = (K21 @ L11inv.T) / d1[None, :]
     K22s = K22 - (L21 * d1[None, :]) @ L21.T
-    L22inv, d2 = _ldl_rec(K22s, block)
+    L22inv, d2 = _ldl_rec(K22s, block, use_pallas)
     # [L11 0; L21 L22]^{-1} = [L11inv 0; -L22inv L21 L11inv, L22inv]
     L21inv = -(L22inv @ (L21 @ L11inv))
     Linv = jnp.zeros_like(K)
@@ -119,12 +129,23 @@ def _ldl_rec(K, block: int):
     return Linv, jnp.concatenate([d1, d2])
 
 
-def ldl_factor(K, block: int = 128) -> LDLFactors:
-    """Factor padded symmetric K (D, D), D a multiple of ``block``."""
+def ldl_factor(K, block: int = 128, use_pallas: str = "auto") -> LDLFactors:
+    """Factor padded symmetric K (D, D), D a multiple of ``block``.
+
+    ``use_pallas``: "auto" uses the fused Pallas leaf kernel for float32
+    128-blocks when running on TPU (the sequential leaf loop is
+    latency-bound as plain XLA ops); "on"/"off" force it.
+    """
     D = K.shape[-1]
     assert D % block == 0, (D, block)
+    if use_pallas == "auto":
+        from .pallas_leaf import pallas_available
+
+        pallas = pallas_available() and K.dtype == jnp.float32
+    else:
+        pallas = use_pallas == "on"
     with jax.default_matmul_precision("highest"):
-        Linv, d = _ldl_rec(K, block)
+        Linv, d = _ldl_rec(K, block, pallas)
     return LDLFactors(Linv=Linv, d=d)
 
 

@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--strategy", default="reduced")
-    ap.add_argument("--factor-dtype", default="float32")
+    ap.add_argument("--factor-dtype", default="float64")
     ap.add_argument("--problems", default=",".join(ALL))
     args = ap.parse_args()
 
@@ -47,13 +47,18 @@ def main():
           f"{'obj_rel_err':>11s}")
     for name in args.problems.split(","):
         st, prob, expected = corpus.load(name)
+        def run():
+            # force a device->host fetch: through the TPU tunnel,
+            # block_until_ready alone does not guarantee completion
+            sol = solve(st, prob, settings)
+            float(jax.device_get(sol.x[0] if st.n else sol.info.tau))
+            return sol
+
         t0 = time.time()
-        sol = solve(st, prob, settings)
-        jax.block_until_ready(sol.x)
+        sol = run()
         compile_s = time.time() - t0
         t0 = time.time()
-        sol = solve(st, prob, settings)
-        jax.block_until_ready(sol.x)
+        sol = run()
         solve_ms = 1e3 * (time.time() - t0)
         code = int(sol.exit_code)
         iters = int(sol.info.iter)
