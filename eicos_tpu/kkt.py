@@ -41,12 +41,16 @@ rounds, undo-on-regression, threshold / weak-progress stops):
            operator (ez without the d*dz term), keeping the scheme exact.
 
            Caveat: normal equations square the conditioning of the cone
-           scaling.  Near a *dual-infeasibility certificate with active
-           SOCs* (iterates diverge to the cone boundary, W^{-2} blows up)
-           the reduced path can exit NUMERICS where "full" produces the
-           certificate (observed on the reference's unboundedMaxSqrt).
-           "full" is therefore the parity default; "reduced" is the speed
-           path for feasible/optimal workloads (MPC sweeps, batch serving).
+           scaling.  Consequences, both observed and pin-tested:
+           (a) near a *dual-infeasibility certificate with active SOCs*
+           (iterates diverge to the cone boundary, W^{-2} blows up) the
+           reduced path can exit NUMERICS where "full" certifies
+           (reference problem unboundedMaxSqrt); (b) on feasible SOCPs the
+           dual residual often stalls ~1e-7, exiting CLOSE_TO_OPTIMAL
+           where "full" reaches OPTIMAL at 1e-9 (LPs are unaffected — the
+           whole corpus and MPC families hit OPTIMAL on both).  "full" is
+           therefore the parity default; "reduced" is the speed path for
+           LP-dominated workloads (MPC sweeps, batch serving).
 
 The refinement residual here is sign-consistent with the factored operator
 on every row; the reference flips the deltastat sign on the last row of
