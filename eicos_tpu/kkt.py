@@ -121,8 +121,9 @@ def _factor_in_dtype(K, settings) -> LDLFactors:
     iterative refinement — low-precision solve, float64 residual), instead
     of emulated-f64 matmuls."""
     if settings.factor_dtype == "float32":
-        return ldl_factor(K.astype(jnp.float32), block=settings.block)
-    return ldl_factor(K, block=settings.block)
+        return ldl_factor(K.astype(jnp.float32), block=settings.block,
+                          use_pallas=settings.pallas_leaf)
+    return ldl_factor(K, block=settings.block, use_pallas="off")
 
 
 def _solve_padded(fac: LDLFactors, rr):
@@ -171,7 +172,9 @@ def factor(st: ProblemStructure, ctx: KKTContext,
         else:
             H = delta * jnp.eye(n, dtype=fdtype)
         K = ctx.K0.astype(fdtype).at[:n, :n].set(H)
-        fac = ldl_factor(K, block=settings.block)
+        fac = ldl_factor(K, block=settings.block,
+                         use_pallas=settings.pallas_leaf
+                         if fdtype == jnp.float32 else "off")
 
         # The whole approximate solve — RHS reduction, backsolve, cone-block
         # reconstruction — runs in the factor dtype: iterative refinement

@@ -129,21 +129,21 @@ def _ldl_rec(K, block: int, use_pallas: bool):
     return Linv, jnp.concatenate([d1, d2])
 
 
-def ldl_factor(K, block: int = 128, use_pallas: str = "auto") -> LDLFactors:
+def ldl_factor(K, block: int = 128, use_pallas: str = "off") -> LDLFactors:
     """Factor padded symmetric K (D, D), D a multiple of ``block``.
 
-    ``use_pallas``: "auto" uses the fused Pallas leaf kernel for float32
-    128-blocks when running on TPU (the sequential leaf loop is
-    latency-bound as plain XLA ops); "on"/"off" force it.
+    ``use_pallas``: "on" uses the fused Pallas leaf kernel (float32 on
+    real TPU only — the sequential leaf loop is latency-bound as plain XLA
+    ops, which matters for single/small-batch solves; large vmapped
+    batches amortize it and run slightly faster with the XLA leaf).
+    "auto" = on whenever it is available.
     """
     D = K.shape[-1]
     assert D % block == 0, (D, block)
-    if use_pallas == "auto":
-        from .pallas_leaf import pallas_available
+    from .pallas_leaf import pallas_available
 
-        pallas = pallas_available() and K.dtype == jnp.float32
-    else:
-        pallas = use_pallas == "on"
+    ok = pallas_available() and K.dtype == jnp.float32
+    pallas = ok and use_pallas in ("on", "auto")
     with jax.default_matmul_precision("highest"):
         Linv, d = _ldl_rec(K, block, pallas)
     return LDLFactors(Linv=Linv, d=d)

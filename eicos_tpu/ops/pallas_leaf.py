@@ -27,7 +27,30 @@ try:  # Pallas is TPU-only at runtime; import is safe everywhere
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+import sys
+
+# Mosaic's jaxpr lowering recurses per equation; the 128-step unrolled
+# scalar work inside this kernel exceeds CPython's default limit.
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
+
 B = 128  # leaf block size == MXU tile
+
+
+def _fori32(n, body, init):
+    """fori_loop with an int32 induction variable.
+
+    Under jax_enable_x64, lax.fori_loop/scan carry an int64 counter, and
+    this Mosaic version cannot lower int64 (its dtype-convert helper
+    recurses without terminating).  A while_loop with an explicit int32
+    counter sidesteps 64-bit entirely."""
+    def cond(c):
+        return c[0] < np.int32(n)
+
+    def wbody(c):
+        j, state = c
+        return j + np.int32(1), body(j, state)
+
+    return lax.while_loop(cond, wbody, (np.int32(0), init))[1]
 
 
 def _leaf_kernel_full(m_ref, linv_ref, d_ref):
@@ -55,9 +78,9 @@ def _leaf_kernel_full(m_ref, linv_ref, d_ref):
         d = jnp.where(colv == j, dj, d)
         return M, L, d
 
-    _, Lstrict, d = lax.fori_loop(
-        0, B, body, (M0, jnp.zeros((B, B), M0.dtype),
-                     jnp.zeros((1, B), M0.dtype)))
+    _, Lstrict, d = _fori32(
+        B, lambda j, c: body(j, c),
+        (M0, jnp.zeros((B, B), M0.dtype), jnp.zeros((1, B), M0.dtype)))
     L = Lstrict + eye
 
     # Newton-Schulz doubling: exact unit-triangular inverse in ceil(log2 B)
@@ -68,7 +91,7 @@ def _leaf_kernel_full(m_ref, linv_ref, d_ref):
         LX = jnp.dot(L, X, preferred_element_type=jnp.float32)
         return jnp.dot(X, eye2 - LX, preferred_element_type=jnp.float32)
 
-    X = lax.fori_loop(0, int(np.ceil(np.log2(B))), ns, X)
+    X = _fori32(int(np.ceil(np.log2(B))), ns, X)
     linv_ref[0] = X
     d_ref[...] = d
 
@@ -84,6 +107,14 @@ def leaf_ldl_pallas(Ms, interpret: bool = False):
     nb = Ms.shape[0]
     assert Ms.shape[1:] == (B, B) and Ms.dtype == jnp.float32
 
+    # pallas_call's grid/pipeline machinery mints int64 counters under
+    # jax_enable_x64, which Mosaic cannot lower; the kernel itself is
+    # 32-bit-clean, so build the call with x64 off.
+    with jax.enable_x64(False):
+        return _pallas_call(nb, interpret)(Ms)
+
+
+def _pallas_call(nb, interpret=False):
     return pl.pallas_call(
         _leaf_kernel_full,
         grid=(nb,),
@@ -100,7 +131,7 @@ def leaf_ldl_pallas(Ms, interpret: bool = False):
             jax.ShapeDtypeStruct((nb, B), jnp.float32),
         ),
         interpret=interpret,
-    )(Ms)
+    )
 
 
 def pallas_available() -> bool:

@@ -49,3 +49,10 @@ class Settings:
     kkt_strategy: str = "full"   # "full" | "reduced"
     factor_dtype: str = "float64"  # "float64" | "float32"
     block: int = 128             # LDL^T block size (MXU tile)
+    # fused Pallas kernel for the 128x128 factorization leaves ("on" |
+    # "off"); f32-on-TPU only.  Correct and available, but measured at
+    # parity or slightly behind the plain-XLA leaf on current hardware
+    # (large batches vectorize the XLA leaf across lanes; single solves
+    # are bound elsewhere) — off by default, kept as the building block
+    # for a future fully-fused factorization kernel.
+    pallas_leaf: str = "off"
