@@ -201,6 +201,53 @@ def scale2_inv(st: ConeStructure, scal: Scaling, x):
     return jnp.concatenate([y_lp, y_s])
 
 
+def scale2reg_inv(st: ConeStructure, scal: Scaling, delta: float, x):
+    """y = (W^2 + delta*I)^{-1} x in closed form.
+
+    Per SOC block, W^2 = eta^2*I + U C U' with U = [e, q] (q is zero at the
+    head, so U'U = diag(1, w)) and C = eta^2 * [[2w, c],[c, d]] — using
+    a^2 - w = 1 for the normalized NT point, the head-head excess is
+    eta^2(a^2 + w - 1) = 2w*eta^2.  Woodbury then gives
+
+        (W^2 + dI)^{-1} = b*I - b^2 U (C^{-1} + b*U'U)^{-1} U',
+        b = 1/(eta^2 + d).
+
+    With delta = 0 this reproduces scale2_inv exactly; with the solver's
+    static regularization it makes the reduced KKT strategy the *exact*
+    Schur complement of the full regularized system, so iterative
+    refinement converges to the same directions as the full path (no
+    O(delta * cond(W^2)) stall near convergence).
+    """
+    x_lp, x_s = _split(st, x)
+    y_lp = x_lp / (scal.v_lp + delta)
+    if st.n_sc:
+        b = 1.0 / (scal.eta2 + delta)
+        # C entries (per cone scalars)
+        c11 = scal.eta2 * (2.0 * scal.w)
+        c12 = scal.eta2 * scal.cc
+        c22 = scal.eta2 * scal.dd
+        detC = c11 * c22 - c12 * c12
+        # Cinv = [[c22, -c12], [-c12, c11]] / detC;  M = Cinv + b*diag(1, w)
+        m11 = c22 / detC + b
+        m12 = -c12 / detC
+        m22 = c11 / detC + b * scal.w
+        detM = m11 * m22 - m12 * m12
+        # U'x = [x_head; q'x]
+        u1 = _heads(st, x_s)
+        u2 = _seg_sum(st, scal.q_flat * x_s)
+        # alpha = Minv @ U'x
+        a1 = (m22 * u1 - m12 * u2) / detM
+        a2 = (-m12 * u1 + m11 * u2) / detM
+        # y = b*x - b^2 * (a1*e + a2*q)
+        be = _expand(st, b)
+        y_s = be * x_s - be * be * (
+            jnp.where(np.asarray(st.is_head), _expand(st, a1), 0.0)
+            + _expand(st, a2) * scal.q_flat)
+    else:
+        y_s = x_s
+    return jnp.concatenate([y_lp, y_s])
+
+
 # --------------------------------------------------------- Jordan algebra
 
 def conic_product(st: ConeStructure, u, v):

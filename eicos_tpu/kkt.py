@@ -27,30 +27,26 @@ rounds, undo-on-regression, threshold / weak-progress stops):
            ~1e8 and wiping out float64 in the trailing update at scale
            (observed: NUMERICS exits on 880-dim MPC problems).
 
-"reduced"  Eliminate the cone block analytically.  W^{-2} has a closed
-           form (diag + rank-2 per cone, cones.scale2_inv), so
+"reduced"  Eliminate the cone block analytically — the EXACT Schur
+           complement of the full regularized system: (W^2 + dI)^{-1}
+           has a closed form (Woodbury over the per-cone rank-2
+           structure, cones.scale2reg_inv), so with V = W^2 + dI
 
-               [ dI + G' W^{-2} G   A'  ] [dx]   [ bx + G' W^{-2} bz ]
+               [ dI + G' V^{-1} G   A'  ] [dx]   [ bx + G' V^{-1} bz ]
                [ A                 -dI  ] [dy] = [ by                ]
-               dz = W^{-2} (G dx - bz)
+               dz = V^{-1} (G dx - bz)
 
            factors only (n+p) — for MPC-class problems (m ~ 2.7n) that is
-           ~25x fewer factorization flops, and forming G'W^{-2}G is one
-           large MXU matmul.  The eliminated system carries no deltastat on
-           the cone rows; the refinement residual is computed against that
-           operator (ez without the d*dz term), keeping the scheme exact.
+           ~25x fewer factorization flops, and forming G'V^{-1}G is one
+           large MXU matmul.  Because the elimination includes the
+           deltastat term, refinement targets the same full operator as
+           "full" and converges to the same directions.
 
            Caveat: normal equations square the conditioning of the cone
-           scaling.  Consequences, both observed and pin-tested:
-           (a) near a *dual-infeasibility certificate with active SOCs*
-           (iterates diverge to the cone boundary, W^{-2} blows up) the
-           reduced path can exit NUMERICS where "full" certifies
-           (reference problem unboundedMaxSqrt); (b) on feasible SOCPs the
-           dual residual often stalls ~1e-7, exiting CLOSE_TO_OPTIMAL
-           where "full" reaches OPTIMAL at 1e-9 (LPs are unaffected — the
-           whole corpus and MPC families hit OPTIMAL on both).  "full" is
-           therefore the parity default; "reduced" is the speed path for
-           LP-dominated workloads (MPC sweeps, batch serving).
+           scaling inside the factorization, so on problems whose cone
+           scalings blow up (SOC infeasibility certificates, very
+           ill-conditioned SOCPs) "full" remains the more robust parity
+           default; "reduced" is the speed path for batch workloads.
 
 The refinement residual here is sign-consistent with the factored operator
 on every row; the reference flips the deltastat sign on the last row of
@@ -158,15 +154,28 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                   else jax.tree_util.tree_map(
                       lambda a: a.astype(fdtype), scal))
 
+        # the eliminated cone block is (W^2 + dI)^{-1} — closed form via
+        # Woodbury (cones.scale2reg_inv) — so this strategy is the EXACT
+        # Schur complement of the full regularized system: refinement
+        # against the full operator converges to the same directions as
+        # the "full" path (no O(delta*cond) stall near convergence).
+        if scal is None:
+            winv_one = jnp.asarray(1.0 / (1.0 + delta), fdtype)
+
+            def wreg_inv_rows(v):
+                return v * winv_one
+        else:
+            def wreg_inv_rows(v):
+                return jax.vmap(lambda col: cones.scale2reg_inv(
+                    st.cone, scal_f, delta, col))(v)
+
         if m:
-            # W^{-2}G and the G'(W^{-2}G) product run entirely in the
+            # (W^2+dI)^{-1}G and the G'(..G) product run entirely in the
             # factor dtype: in f32 mode this avoids materializing an
             # (m, n) float64 intermediate (emulated-f64 elementwise is the
             # cost, not the matmul).  The factor consumes f32 anyway;
             # refinement against the f64 operator absorbs the rounding.
-            WiG = (Gf if scal is None
-                   else jax.vmap(lambda col: cones.scale2_inv(
-                       st.cone, scal_f, col), in_axes=1, out_axes=1)(Gf))
+            WiG = wreg_inv_rows(Gf.T).T
             with jax.default_matmul_precision("highest"):
                 H = Gf.T @ WiG + delta * jnp.eye(n, dtype=fdtype)
         else:
@@ -176,27 +185,18 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                          use_pallas=settings.pallas_leaf
                          if fdtype == jnp.float32 else "off")
 
-        # The whole approximate solve — RHS reduction, backsolve, cone-block
-        # reconstruction — runs in the factor dtype: iterative refinement
-        # only needs the *outer* residual in f64, so in f32 mode the
-        # reduction/expansion matmuls ride the MXU instead of emulated-f64
-        # VPU (the dominant per-iteration cost at MPC scale).
-        w2inv_rows_f = ((lambda v: v) if scal is None
-                        else jax.vmap(lambda v: cones.scale2_inv(
-                            st.cone, scal_f, v)))
-
         def solve_exact(rhs):
             # rhs: (k, n+p+m) packed rows -> (dx, dy, dz) each (k, .)
             rhs_f = rhs.astype(fdtype)
             bx, by, bz = rhs_f[:, :n], rhs_f[:, n:n + p], rhs_f[:, n + p:]
             with jax.default_matmul_precision("highest"):
-                r1 = bx + (w2inv_rows_f(bz) @ Gf if m else 0.0)
+                r1 = bx + (wreg_inv_rows(bz) @ Gf if m else 0.0)
                 rr = jnp.zeros((Dp, rhs.shape[0]), fdtype).at[:D].set(
                     jnp.concatenate([r1, by], axis=1).T)
                 x = ldl_solve(fac, rr)
                 dx = x[:n].T
                 dy = x[n:D].T
-                dz = w2inv_rows_f(dx @ Gf.T - bz) if m else bz
+                dz = wreg_inv_rows(dx @ Gf.T - bz) if m else bz
             return (dx.astype(rhs.dtype), dy.astype(rhs.dtype),
                     dz.astype(rhs.dtype))
 
@@ -260,8 +260,9 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
     """
     n, p, m = st.n, st.p, st.m
     delta = settings.deltastat
-    # the reduced operator has no deltastat on the cone rows (module doc)
-    dz_reg = 0.0 if settings.kkt_strategy == "reduced" else delta
+    # both strategies now refine against the SAME full regularized
+    # operator (the reduced path eliminates (W^2 + dI) exactly)
+    dz_reg = delta
     f64 = rhs.dtype
     K = rhs.shape[0]
     G, A = ctx.G, ctx.A
