@@ -25,6 +25,14 @@ def _settings(args):
     return Settings(**kw)
 
 
+def _attach_plan(args, st, prob):
+    if getattr(args, "strategy", None) == "banded":
+        from .plan import make_band_plan
+
+        return st.with_band_plan(make_band_plan(st, prob.G, prob.A))
+    return st
+
+
 def cmd_solve(args) -> int:
     import jax
 
@@ -33,6 +41,7 @@ def cmd_solve(args) -> int:
     from .utils.printing import print_iteration_table, print_summary
 
     st, prob = load_problem(args.problem)
+    st = _attach_plan(args, st, prob)
     t0 = time.time()
     sol = jax.device_get(solve(st, prob, _settings(args)))
     dt = time.time() - t0
@@ -68,6 +77,7 @@ def cmd_corpus(args) -> int:
     t_start = time.time()
     for name in names:
         st, prob, expected = corpus.load(name)
+        st = _attach_plan(args, st, prob)
         t0 = time.time()
         sol = solve(st, prob, _settings(args))
         code = int(sol.exit_code)
@@ -87,7 +97,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("solve", help="solve a problem saved as .npz")
     p.add_argument("problem")
     p.add_argument("--verbose", action="store_true")
-    p.add_argument("--strategy", choices=("full", "reduced"))
+    p.add_argument("--strategy", choices=("full", "reduced", "banded"))
     p.add_argument("--factor-dtype", choices=("float64", "float32"))
     p.set_defaults(fn=cmd_solve)
 
@@ -100,7 +110,7 @@ def main(argv=None) -> int:
     p.add_argument("--problems", default="")
     p.add_argument("--all", action="store_true",
                    help="include the largest problems")
-    p.add_argument("--strategy", choices=("full", "reduced"))
+    p.add_argument("--strategy", choices=("full", "reduced", "banded"))
     p.add_argument("--factor-dtype", choices=("float64", "float32"))
     p.set_defaults(fn=cmd_corpus)
 

@@ -43,6 +43,12 @@ class Solver:
         self.structure = ProblemStructure.create(n, p, m, l, q)
         self.settings = settings
         self._data = make_problem(self.structure, G, A, c, h, b)
+        if settings.kkt_strategy == "banded":
+            from .plan import make_band_plan
+
+            self.structure = self.structure.with_band_plan(
+                make_band_plan(self.structure, self._data.G, self._data.A,
+                               block=settings.block))
         self._solution: Optional[Solution] = None
 
     @classmethod

@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 
 from .api import Solver
-from .exitcodes import ExitCode
 from .settings import Settings
 
 # classic ECOS exit-code macros (/root/reference/test/ecos.h:36-44)

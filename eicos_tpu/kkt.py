@@ -60,6 +60,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import cones
@@ -79,7 +80,7 @@ def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
     n, p, m = st.n, st.p, st.m
     dtype = G.dtype
     delta = settings.deltastat
-    if settings.kkt_strategy == "reduced":
+    if settings.kkt_strategy in ("reduced", "banded"):
         D = n + p
         Dp = pad_to_block(D, settings.block)
         K0 = jnp.zeros((Dp, Dp), dtype)
@@ -140,7 +141,7 @@ def factor(st: ProblemStructure, ctx: KKTContext,
     delta = settings.deltastat
     G = ctx.G
 
-    if settings.kkt_strategy == "reduced":
+    if settings.kkt_strategy in ("reduced", "banded"):
         D = n + p
         Dp = ctx.K0.shape[-1]
         # In float32 mode the H = G'W^{-2}G product — the largest matmul of
@@ -181,9 +182,34 @@ def factor(st: ProblemStructure, ctx: KKTContext,
         else:
             H = delta * jnp.eye(n, dtype=fdtype)
         K = ctx.K0.astype(fdtype).at[:n, :n].set(H)
-        fac = ldl_factor(K, block=settings.block,
-                         use_pallas=settings.pallas_leaf
-                         if fdtype == jnp.float32 else "off")
+
+        if settings.kkt_strategy == "banded":
+            # symbolic plan (RCM perm + block bandwidth) is static on the
+            # structure; factor the permuted system block-banded
+            from .ops.band_ldl import band_ldl_factor, band_ldl_solve
+
+            plan = st.band
+            assert plan is not None, (
+                "kkt_strategy='banded' needs structure.with_band_plan(...)")
+            assert plan.dim == Dp and plan.block == settings.block, (
+                plan.dim, Dp, plan.block, settings.block)
+            perm = np.asarray(plan.perm)
+            iperm = np.empty_like(perm)
+            iperm[perm] = np.arange(len(perm))
+            Kp = K[perm][:, perm]
+            bfac = band_ldl_factor(Kp, plan.bwb, block=plan.block)
+
+            def padded_solve(rr):
+                xp = band_ldl_solve(bfac, rr[perm], plan.bwb,
+                                    block=plan.block)
+                return xp[iperm]
+        else:
+            fac = ldl_factor(K, block=settings.block,
+                             use_pallas=settings.pallas_leaf
+                             if fdtype == jnp.float32 else "off")
+
+            def padded_solve(rr):
+                return ldl_solve(fac, rr)
 
         def solve_exact(rhs):
             # rhs: (k, n+p+m) packed rows -> (dx, dy, dz) each (k, .)
@@ -193,7 +219,7 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 r1 = bx + (wreg_inv_rows(bz) @ Gf if m else 0.0)
                 rr = jnp.zeros((Dp, rhs.shape[0]), fdtype).at[:D].set(
                     jnp.concatenate([r1, by], axis=1).T)
-                x = ldl_solve(fac, rr)
+                x = padded_solve(rr)
                 dx = x[:n].T
                 dy = x[n:D].T
                 dz = wreg_inv_rows(dx @ Gf.T - bz) if m else bz

@@ -85,11 +85,18 @@ class ProblemStructure:
     (/root/reference/src/eicos.cpp:148-165) minus ``dim_K``'s ``+ 2*n_sc``
     SOC expansion — the expansion exists only to keep a *sparse* pattern
     constant; our dense-block KKT representation doesn't need it.
+
+    ``band`` optionally carries the host-computed symbolic plan for the
+    banded KKT strategy (plan.BandPlan: RCM permutation + block
+    bandwidth); it is hashable, so it stays a static part of the compiled
+    program — the analogue of Eigen's symbolic factorization being
+    computed once and reused.
     """
 
     n: int  # number of variables
     p: int  # number of equality constraints
     cone: ConeStructure
+    band: object = None  # Optional[plan.BandPlan]
 
     @property
     def m(self) -> int:
@@ -127,3 +134,7 @@ class ProblemStructure:
             raise ValueError(f"l + sum(q) = {l + sum(q)} != m = {m}")
         return ProblemStructure(n=int(n), p=int(p),
                                 cone=ConeStructure(l=int(l), q=q))
+
+    def with_band_plan(self, plan) -> "ProblemStructure":
+        """Attach a banded-KKT symbolic plan (plan.make_band_plan)."""
+        return dataclasses.replace(self, band=plan)

@@ -47,6 +47,10 @@ def main():
           f"{'obj_rel_err':>11s}")
     for name in args.problems.split(","):
         st, prob, expected = corpus.load(name)
+        if args.strategy == "banded":
+            from eicos_tpu.plan import make_band_plan
+
+            st = st.with_band_plan(make_band_plan(st, prob.G, prob.A))
         def run():
             # force a device->host fetch: through the TPU tunnel,
             # block_until_ready alone does not guarantee completion
