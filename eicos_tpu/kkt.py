@@ -176,7 +176,14 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             # (m, n) float64 intermediate (emulated-f64 elementwise is the
             # cost, not the matmul).  The factor consumes f32 anyway;
             # refinement against the f64 operator absorbs the rounding.
-            WiG = wreg_inv_rows(Gf.T).T
+            if st.n_sc == 0 and scal is not None:
+                # LP-only: (W^2+dI)^{-1} is diagonal — scale rows of G
+                # directly instead of vmapping over columns (which would
+                # materialize and transpose an (m, n) intermediate twice)
+                winv = (1.0 / (scal.v_lp + delta)).astype(fdtype)
+                WiG = Gf * winv[:, None]
+            else:
+                WiG = wreg_inv_rows(Gf.T).T
             with jax.default_matmul_precision("highest"):
                 H = Gf.T @ WiG + delta * jnp.eye(n, dtype=fdtype)
         else:
