@@ -220,32 +220,36 @@ def scale2reg_inv(st: ConeStructure, scal: Scaling, delta: float, x):
     """
     x_lp, x_s = _split(st, x)
     y_lp = x_lp / (scal.v_lp + delta)
-    if st.n_sc:
-        b = 1.0 / (scal.eta2 + delta)
-        # C entries (per cone scalars)
-        c11 = scal.eta2 * (2.0 * scal.w)
-        c12 = scal.eta2 * scal.cc
-        c22 = scal.eta2 * scal.dd
-        detC = c11 * c22 - c12 * c12
-        # Cinv = [[c22, -c12], [-c12, c11]] / detC;  M = Cinv + b*diag(1, w)
-        m11 = c22 / detC + b
-        m12 = -c12 / detC
-        m22 = c11 / detC + b * scal.w
-        detM = m11 * m22 - m12 * m12
-        # U'x = [x_head; q'x]
-        u1 = _heads(st, x_s)
-        u2 = _seg_sum(st, scal.q_flat * x_s)
-        # alpha = Minv @ U'x
-        a1 = (m22 * u1 - m12 * u2) / detM
-        a2 = (-m12 * u1 + m11 * u2) / detM
-        # y = b*x - b^2 * (a1*e + a2*q)
-        be = _expand(st, b)
-        y_s = be * x_s - be * be * (
-            jnp.where(np.asarray(st.is_head), _expand(st, a1), 0.0)
-            + _expand(st, a2) * scal.q_flat)
-    else:
-        y_s = x_s
+    y_s = scale2reg_inv_soc(st, scal, delta, x_s) if st.n_sc else x_s
     return jnp.concatenate([y_lp, y_s])
+
+
+def scale2reg_inv_soc(st: ConeStructure, scal: Scaling, delta: float, x_s):
+    """The SOC part of ``scale2reg_inv``: y_s = (W_soc^2 + delta*I)^{-1} x_s
+    on the (ms,) SOC segment only (used by the reduced KKT strategy's
+    split H formation, where LP rows are handled separately)."""
+    b = 1.0 / (scal.eta2 + delta)
+    # C entries (per cone scalars)
+    c11 = scal.eta2 * (2.0 * scal.w)
+    c12 = scal.eta2 * scal.cc
+    c22 = scal.eta2 * scal.dd
+    detC = c11 * c22 - c12 * c12
+    # Cinv = [[c22, -c12], [-c12, c11]] / detC;  M = Cinv + b*diag(1, w)
+    m11 = c22 / detC + b
+    m12 = -c12 / detC
+    m22 = c11 / detC + b * scal.w
+    detM = m11 * m22 - m12 * m12
+    # U'x = [x_head; q'x]
+    u1 = _heads(st, x_s)
+    u2 = _seg_sum(st, scal.q_flat * x_s)
+    # alpha = Minv @ U'x
+    a1 = (m22 * u1 - m12 * u2) / detM
+    a2 = (-m12 * u1 + m11 * u2) / detM
+    # y = b*x - b^2 * (a1*e + a2*q)
+    be = _expand(st, b)
+    return be * x_s - be * be * (
+        jnp.where(np.asarray(st.is_head), _expand(st, a1), 0.0)
+        + _expand(st, a2) * scal.q_flat)
 
 
 # --------------------------------------------------------- Jordan algebra

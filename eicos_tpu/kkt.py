@@ -176,16 +176,52 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             # (m, n) float64 intermediate (emulated-f64 elementwise is the
             # cost, not the matmul).  The factor consumes f32 anyway;
             # refinement against the f64 operator absorbs the rounding.
-            if st.n_sc == 0 and scal is not None:
-                # LP-only: (W^2+dI)^{-1} is diagonal — scale rows of G
-                # directly instead of vmapping over columns (which would
-                # materialize and transpose an (m, n) intermediate twice)
-                winv = (1.0 / (scal.v_lp + delta)).astype(fdtype)
-                WiG = Gf * winv[:, None]
+            # LP diagonal of (W^2+dI)^{-1} (identity scalings at init)
+            if scal is None:
+                winv_lp = jnp.full((st.l,), 1.0 / (1.0 + delta), fdtype)
             else:
-                WiG = wreg_inv_rows(Gf.T).T
-            with jax.default_matmul_precision("highest"):
-                H = Gf.T @ WiG + delta * jnp.eye(n, dtype=fdtype)
+                winv_lp = (1.0 / (scal_f.v_lp + delta))
+            split = st.gsplit
+            if split is not None and split.n_sing:
+                # singleton LP rows (bound constraints) contribute only to
+                # the diagonal of H: drop them from the GEMM, scatter-add
+                # G[r,j]^2 * winv[r] onto H[j,j] (structure.GSplit doc)
+                sing = np.asarray(split.sing_rows)
+                scol = np.asarray(split.sing_cols)
+                dense_lp = np.asarray(split.dense_rows, dtype=np.int64)
+                coef = Gf[sing, scol]
+                hdiag = jnp.zeros((n,), fdtype).at[scol].add(
+                    coef * coef * winv_lp[sing])
+                Gd_lp = Gf[dense_lp]
+                WiGd_lp = Gd_lp * winv_lp[dense_lp][:, None]
+                if st.n_sc:
+                    G_soc = Gf[st.l:]
+                    if scal is None:
+                        WiG_soc = G_soc * jnp.asarray(
+                            1.0 / (1.0 + delta), fdtype)
+                    else:
+                        WiG_soc = jax.vmap(
+                            lambda col: cones.scale2reg_inv_soc(
+                                st.cone, scal_f, delta, col))(G_soc.T).T
+                    Gd = jnp.concatenate([Gd_lp, G_soc])
+                    WiGd = jnp.concatenate([WiGd_lp, WiG_soc])
+                else:
+                    Gd, WiGd = Gd_lp, WiGd_lp
+                with jax.default_matmul_precision("highest"):
+                    H = (Gd.T @ WiGd if Gd.shape[0]
+                         else jnp.zeros((n, n), fdtype))
+                    H = H + jnp.diag(hdiag + delta)
+            else:
+                if st.n_sc == 0 and scal is not None:
+                    # LP-only: (W^2+dI)^{-1} is diagonal — scale rows of G
+                    # directly instead of vmapping over columns (which
+                    # would materialize and transpose an (m, n)
+                    # intermediate twice)
+                    WiG = Gf * winv_lp.astype(fdtype)[:, None]
+                else:
+                    WiG = wreg_inv_rows(Gf.T).T
+                with jax.default_matmul_precision("highest"):
+                    H = Gf.T @ WiG + delta * jnp.eye(n, dtype=fdtype)
         else:
             H = delta * jnp.eye(n, dtype=fdtype)
         K = ctx.K0.astype(fdtype).at[:n, :n].set(H)

@@ -58,13 +58,24 @@ def pad_to_block(D: int, block: int = 128) -> int:
 
 
 def _unblocked_ldl(M):
-    """LDL^T of a (B, B) symmetric block. Returns (L unit-lower, d)."""
+    """LDL^T of a (B, B) symmetric block. Returns (L unit-lower, d).
+
+    Pivots are clamped away from zero: quasidefinite pivots are nonzero in
+    exact arithmetic, but a float32 factorization of an ill-conditioned
+    block can underflow one to 0, and the resulting inf/NaN would poison
+    the whole solve (NaN exit with a restored stale iterate).  A clamped
+    pivot merely yields an inaccurate direction, which iterative
+    refinement's undo-on-regression absorbs and the solver's masked exits
+    handle gracefully."""
     B = M.shape[-1]
     ridx = np.arange(B)
+    tiny = jnp.asarray(1e-20 if M.dtype == jnp.float32 else 1e-150, M.dtype)
 
     def body(j, carry):
         M, L, d = carry
         dj = M[j, j]
+        dj = jnp.where(jnp.abs(dj) < tiny,
+                       jnp.where(dj < 0, -tiny, tiny), dj)
         l = jnp.where(ridx > j, M[:, j] / dj, 0.0)
         M = M - dj * l[:, None] * l[None, :]
         L = L.at[:, j].set(l)

@@ -140,7 +140,11 @@ def _tree_where(pred, a, b):
 def _check_exit(w: Iterate, feastol, abstol, reltol, reduced: bool):
     """checkExitConditions (/root/reference/src/eicos.cpp:526-641) as pure
     dataflow. Returns an int32 code (NOT_CONVERGED_YET if no test fires)."""
-    relgap_eff = jnp.where(w.has_relgap, w.relgap, jnp.inf)
+    # C++ optional semantics: nullopt < reltol is TRUE (:551) — an unset
+    # relgap (pcost >= 0 and dcost <= 0, :700-710) satisfies the relgap
+    # clause, so the reference declares OPTIMAL on pres/dres alone even
+    # with gap >= abstol.  Same quirk as the pinfres clause below (:612).
+    relgap_eff = jnp.where(w.has_relgap, w.relgap, -jnp.inf)
     optimal = (((-w.cx > 0.0) | (-w.by - w.hz >= -abstol))
                & (w.pres < feastol) & (w.dres < feastol)
                & ((w.gap < abstol) | (relgap_eff < reltol)))

@@ -78,6 +78,49 @@ class ConeStructure:
 
 
 @dataclasses.dataclass(frozen=True)
+class GSplit:
+    """Static split of G's LP-cone rows into singleton rows (exactly one
+    nonzero — bound constraints, ubiquitous in LP-form MPC and netlib
+    problems) and the dense remainder.
+
+    Used by the reduced KKT strategy: a singleton row r with column j
+    contributes ``G[r,j]^2 / (v_lp[r] + delta)`` to H[j,j] only, so those
+    rows can be dropped from the H = G'(W^2+dI)^{-1}G matmul — the
+    dominant per-iteration matmul (n^2*m flops) shrinks to n^2*m_dense.
+    The reference gets the same effect implicitly from sparse arithmetic
+    (Eigen CSC products); this is the dense-MXU analogue: one segment-sum
+    onto the diagonal plus a smaller GEMM.
+
+    Only the row *pattern* is static; coefficients stay traced (gathered
+    from G inside the jitted solve), so ``update_data`` with new values on
+    the same pattern reuses the compiled executable.  Row/column
+    equilibration preserves the pattern.  SOC rows are never split:
+    (W^2+dI)^{-1} mixes entries within a cone block.
+    """
+
+    sing_rows: tuple   # LP rows of G with exactly one structural nonzero
+    sing_cols: tuple   # their column indices
+    dense_rows: tuple  # remaining LP rows (SOC rows are appended by users)
+
+    @staticmethod
+    def from_dense(G, l: int) -> "GSplit":
+        """Detect the split from a concrete G's nonzero pattern; rows
+        beyond ``l`` (SOC rows) always go dense."""
+        G = np.asarray(G)
+        nnz_per_row = (G[:l] != 0).sum(axis=1)
+        sing = np.flatnonzero(nnz_per_row == 1)
+        dense = np.flatnonzero(nnz_per_row != 1)
+        cols = np.argmax(G[sing] != 0, axis=1) if sing.size else sing
+        return GSplit(sing_rows=tuple(int(r) for r in sing),
+                      sing_cols=tuple(int(c) for c in cols),
+                      dense_rows=tuple(int(r) for r in dense))
+
+    @property
+    def n_sing(self) -> int:
+        return len(self.sing_rows)
+
+
+@dataclasses.dataclass(frozen=True)
 class ProblemStructure:
     """Full static description: dimensions + cone layout.
 
@@ -96,7 +139,8 @@ class ProblemStructure:
     n: int  # number of variables
     p: int  # number of equality constraints
     cone: ConeStructure
-    band: object = None  # Optional[plan.BandPlan]
+    band: object = None    # Optional[plan.BandPlan]
+    gsplit: object = None  # Optional[GSplit]
 
     @property
     def m(self) -> int:
@@ -138,3 +182,12 @@ class ProblemStructure:
     def with_band_plan(self, plan) -> "ProblemStructure":
         """Attach a banded-KKT symbolic plan (plan.make_band_plan)."""
         return dataclasses.replace(self, band=plan)
+
+    def with_gsplit(self, G) -> "ProblemStructure":
+        """Attach the singleton-row split detected from a concrete G (used
+        by the reduced KKT strategy's H formation).  Only worthwhile when a
+        meaningful fraction of LP rows are bound constraints."""
+        split = GSplit.from_dense(G, self.l)
+        if split.n_sing == 0:
+            return self
+        return dataclasses.replace(self, gsplit=split)
