@@ -48,8 +48,9 @@ import numpy as np
 # m = 2n + 2*(HORIZON-1)*NU = 4972
 HORIZON = 249
 NX, NU = 2, 4
-BATCH = 128         # lanes per compiled batch (HBM-bound)
-ROUNDS = 3          # timed batches; total solves = BATCH * ROUNDS
+BATCH = 128         # max lanes per compiled batch (auto-shrinks on OOM:
+                    # f64 factors hold K + L^{-1} ~ 67 MB/lane in HBM)
+ROUNDS = 3          # timed batches; total solves = batch * ROUNDS
 BASELINE_PROBES = 12
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
                               "baselines", "highs_baseline.json")
@@ -73,6 +74,12 @@ def build_batch():
     return st, probs, BatchedSolver.stack(probs, shared=shared), shared
 
 
+def _slice_batch(batch, shared, k):
+    vals = {f: (getattr(batch, f) if f in shared else getattr(batch, f)[:k])
+            for f in ("G", "A", "c", "h", "b")}
+    return batch.__class__(**vals)
+
+
 def measure_tpu(st, batch, shared, factor_dtype="float64"):
     import jax
 
@@ -81,17 +88,27 @@ def measure_tpu(st, batch, shared, factor_dtype="float64"):
 
     settings = Settings(kkt_strategy="reduced", factor_dtype=factor_dtype)
     bs = BatchedSolver(st, settings, shared=shared)
-    sols = bs.solve(batch)  # compile + warm
-    codes = np.asarray(jax.device_get(sols.exit_code))
+    nb = BATCH
+    while True:
+        sub = _slice_batch(batch, shared, nb)
+        try:
+            sols = bs.solve(sub)  # compile + warm
+            codes = np.asarray(jax.device_get(sols.exit_code))
+            break
+        except Exception as e:  # HBM OOM: halve the batch and retry
+            if "RESOURCE_EXHAUSTED" not in str(e) or nb <= 8:
+                raise
+            nb //= 2
+            print(f"batch {nb * 2} OOM, retrying at {nb}", file=sys.stderr)
     n_ok = int(np.sum((codes == 0) | (codes == 10)))
     t0 = time.time()
     for _ in range(ROUNDS):
-        sols = bs.solve(batch)
+        sols = bs.solve(sub)
         # force a real device->host fetch: through the TPU tunnel,
         # block_until_ready alone does not guarantee execution completed
         float(jax.device_get(sols.x[0, 0]))
     elapsed = (time.time() - t0) / ROUNDS
-    return BATCH / elapsed, n_ok, codes
+    return nb / elapsed, n_ok, codes, nb
 
 
 def build_socp_batch():
@@ -141,26 +158,27 @@ def measure_highs(st, probs):
 
 def main():
     st, probs, batch, shared = build_batch()
-    tpu_rate, n_ok, codes = measure_tpu(st, batch, shared)
-    if n_ok != BATCH:
-        print(f"WARNING: only {n_ok}/{BATCH} optimal; codes={codes}",
+    tpu_rate, n_ok, codes, nb = measure_tpu(st, batch, shared)
+    if n_ok != nb:
+        print(f"WARNING: only {n_ok}/{nb} optimal; codes={codes}",
               file=sys.stderr)
     highs_rate = measure_highs(st, probs)
 
     st_s, batch_s, shared_s = build_socp_batch()
-    socp_rate, socp_ok, socp_codes = measure_tpu(st_s, batch_s, shared_s)
-    if socp_ok != BATCH:
-        print(f"WARNING: SOCP lane only {socp_ok}/{BATCH} optimal; "
+    socp_rate, socp_ok, socp_codes, nb_s = measure_tpu(st_s, batch_s,
+                                                       shared_s)
+    if socp_ok != nb_s:
+        print(f"WARNING: SOCP lane only {socp_ok}/{nb_s} optimal; "
               f"codes={socp_codes}", file=sys.stderr)
     print(json.dumps({
         "metric": "mpc01_lp_batch_solves_per_sec",
         "value": round(tpu_rate, 3),
         "unit": "solves/s",
         "vs_baseline": round(tpu_rate / highs_rate, 3),
-        "lp_lanes_optimal": f"{n_ok}/{BATCH}",
+        "lp_lanes_optimal": f"{n_ok}/{nb}",
         "lp_dims": {"n": st.n, "p": st.p, "m": st.m},
         "socp_solves_per_sec": round(socp_rate, 3),
-        "socp_lanes_optimal": f"{socp_ok}/{BATCH}",
+        "socp_lanes_optimal": f"{socp_ok}/{nb_s}",
         "socp_dims": {"n": st_s.n, "p": st_s.p, "m": st_s.m,
                       "ncones": st_s.n_sc},
     }))

@@ -49,7 +49,7 @@ class Solver:
             self.structure = self.structure.with_band_plan(
                 make_band_plan(self.structure, self._data.G, self._data.A,
                                block=settings.block))
-        if settings.kkt_strategy in ("reduced", "banded"):
+        if settings.kkt_strategy in ("reduced", "banded", "normal"):
             # static singleton-row split speeds up H formation (structure
             # .GSplit); pattern-only, so update_data keeps the executable
             self.structure = self.structure.with_gsplit(self._data.G)
@@ -77,7 +77,7 @@ class Solver:
         self.structure = ProblemStructure.create(n, p, m, l, qq)
         self.settings = settings
         self._data = make_problem(self.structure, G, A, c_arr, h_arr, b_arr)
-        if settings.kkt_strategy in ("reduced", "banded"):
+        if settings.kkt_strategy in ("reduced", "banded", "normal"):
             self.structure = self.structure.with_gsplit(self._data.G)
         self._solution = None
         return self

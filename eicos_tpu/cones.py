@@ -401,38 +401,42 @@ def bring_to_cone(st: ConeStructure, r, gamma: float):
 
 # --------------------------------------------------- dense W^2 assembly
 
-def w2_dense(st: ConeStructure, scal: Scaling, dtype):
-    """Materialize W^2 as a dense (m, m) block for the full KKT assembly.
+def w2_soc_dense(st: ConeStructure, scal: Scaling, dtype):
+    """Materialize the SOC part of W^2 as a dense (ms, ms) block.
 
-    diag part + per-cone rank-2 structure via (m, n_sc) scatter matrices:
+    diag part + per-cone rank-2 structure via (ms, n_sc) scatter matrices:
         W2 = D + E diag(eta2*c) Q' + Q diag(eta2*c) E' + Q diag(eta2*d) Q'
     where Q[:,k] = q restricted to cone k and E[:,k] = e_{head_k}.
+    Used by the full KKT assembly and by the reduced strategy's kept
+    (non-eliminated) SOC block.
     """
-    m = st.m
-    diag = jnp.zeros((m,), dtype=dtype)
-    diag = diag.at[: st.l].set(scal.v_lp)
-    if st.n_sc == 0:
-        return jnp.diag(diag)
-
-    head_abs = np.asarray(st.head_offsets) + st.l  # absolute head indices
     diag_soc = jnp.where(
         np.asarray(st.is_head),
         _expand(st, scal.eta2 * (scal.a * scal.a + scal.w)),
         _expand(st, scal.eta2),
     )
-    diag = diag.at[st.l:].set(diag_soc)
-    W2 = jnp.diag(diag)
+    W2 = jnp.diag(diag_soc.astype(dtype))
 
-    # scatter matrices (m, n_sc)
+    # scatter matrices (ms, n_sc)
     onehot = np.zeros((st.ms, st.n_sc), dtype=bool)
     onehot[np.arange(st.ms), np.asarray(st.seg)] = True
-    Q = jnp.zeros((m, st.n_sc), dtype=dtype).at[st.l:, :].set(
-        jnp.where(onehot, scal.q_flat[:, None], 0.0)
-    )
-    E = jnp.zeros((m, st.n_sc), dtype=dtype).at[head_abs,
-                                                np.arange(st.n_sc)].set(1.0)
+    Q = jnp.where(onehot, scal.q_flat[:, None], 0.0).astype(dtype)
+    E = jnp.zeros((st.ms, st.n_sc), dtype=dtype).at[
+        np.asarray(st.head_offsets), np.arange(st.n_sc)].set(1.0)
     ec = scal.eta2 * scal.cc
     ed = scal.eta2 * scal.dd
     W2 = W2 + E @ (ec[:, None] * Q.T) + Q @ (ec[:, None] * E.T)
     W2 = W2 + Q @ (ed[:, None] * Q.T)
     return W2
+
+
+def w2_dense(st: ConeStructure, scal: Scaling, dtype):
+    """Materialize W^2 as a dense (m, m) block for the full KKT assembly:
+    diagonal LP part + the SOC block from ``w2_soc_dense``."""
+    m = st.m
+    diag = jnp.zeros((m,), dtype=dtype)
+    diag = diag.at[: st.l].set(scal.v_lp)
+    if st.n_sc == 0:
+        return jnp.diag(diag)
+    W2 = jnp.diag(diag)
+    return W2.at[st.l:, st.l:].set(w2_soc_dense(st, scal, dtype))

@@ -27,26 +27,40 @@ rounds, undo-on-regression, threshold / weak-progress stops):
            ~1e8 and wiping out float64 in the trailing update at scale
            (observed: NUMERICS exits on 880-dim MPC problems).
 
-"reduced"  Eliminate the cone block analytically — the EXACT Schur
-           complement of the full regularized system: (W^2 + dI)^{-1}
-           has a closed form (Woodbury over the per-cone rank-2
-           structure, cones.scale2reg_inv), so with V = W^2 + dI
+"reduced"  Eliminate exactly the rows whose cone block is DIAGONAL — the
+           LP cone — and keep SOC blocks in the factored system.  The LP
+           elimination is the exact Schur complement of the regularized
+           system ((v_lp + d)^{-1} is scalar per row), so with
+           V_lp = diag(v_lp) + dI and H_lp = G_lp' V_lp^{-1} G_lp the
+           factored operator is, in [z_soc | x | y] elimination order,
 
-               [ dI + G' V^{-1} G   A'  ] [dx]   [ bx + G' V^{-1} bz ]
-               [ A                 -dI  ] [dy] = [ by                ]
-               dz = V^{-1} (G dx - bz)
+               [ -(W_soc^2+dI)   G_soc        0   ] [dz_soc]   [bz_soc]
+               [  G_soc'         dI + H_lp    A'  ] [dx    ] = [bx + G_lp' V_lp^{-1} bz_lp]
+               [  0              A           -dI  ] [dy    ]   [by]
 
-           factors only (n+p) — for MPC-class problems (m ~ 2.7n) that is
-           ~25x fewer factorization flops, and forming G'V^{-1}G is one
-           large MXU matmul.  Because the elimination includes the
-           deltastat term, refinement targets the same full operator as
-           "full" and converges to the same directions.
+               dz_lp = V_lp^{-1} (G_lp dx - bz_lp)
 
-           Caveat: normal equations square the conditioning of the cone
-           scaling inside the factorization, so on problems whose cone
-           scalings blow up (SOC infeasibility certificates, very
-           ill-conditioned SOCPs) "full" remains the more robust parity
-           default; "reduced" is the speed path for batch workloads.
+           For LP problems this factors only (n+p) — for MPC-class
+           problems (m ~ 2.7n) that is ~25x fewer factorization flops
+           than "full", and forming H_lp is one large MXU matmul (or,
+           with a GSplit, mostly a diagonal scatter).  SOC blocks enter
+           the factor *linearly* (quasidefinite augmented form), so SOC
+           conditioning is NOT squared: infeasibility certificates — where
+           cone scalings blow up — are certified exactly as on the "full"
+           path.  Because the elimination includes the deltastat term,
+           refinement targets the same full operator as "full" and
+           converges to the same directions.
+
+"normal"   Full normal equations: eliminate the SOC blocks too, via the
+           closed-form (W^2 + dI)^{-1} (Woodbury over the per-cone rank-2
+           structure, cones.scale2reg_inv).  Factors only (n+p) even with
+           cones — the fastest path for batches of *interior* (feasible,
+           well-scaled) SOCPs — but squares the cone-scaling conditioning
+           inside the factorization: near SOC infeasibility certificates
+           the factor degrades before the certificate matures and lanes
+           exit NUMERICS where "reduced"/"full" certify.  Not part of the
+           exit-code-parity surface; use for throughput when the problem
+           population is known feasible.
 
 The refinement residual here is sign-consistent with the factored operator
 on every row; the reference flips the deltastat sign on the last row of
@@ -76,22 +90,33 @@ class KKTContext(NamedTuple):
     K0: jax.Array      # full: (Dp, Dp) with A/G blocks; reduced: (Dpr, Dpr)
 
 
+def _keep_soc(st: ProblemStructure, settings) -> bool:
+    """"reduced" keeps SOC blocks in the factor (partial elimination);
+    "normal"/"banded" eliminate everything."""
+    return settings.kkt_strategy == "reduced" and st.n_sc > 0
+
+
 def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
     n, p, m = st.n, st.p, st.m
     dtype = G.dtype
     delta = settings.deltastat
-    if settings.kkt_strategy in ("reduced", "banded"):
-        D = n + p
+    if settings.kkt_strategy in ("reduced", "banded", "normal"):
+        ms = st.m - st.l if _keep_soc(st, settings) else 0
+        D = ms + n + p
         Dp = pad_to_block(D, settings.block)
         K0 = jnp.zeros((Dp, Dp), dtype)
         idx = jnp.arange(Dp)
-        # x-block diag is overwritten by H each factor; -dI on y; 1 padding
-        diag0 = jnp.where(idx < n, 0.0,
+        # z_soc diag (first ms rows, kept SOC block) and x diag are
+        # overwritten each factor; -dI on y; 1 padding
+        diag0 = jnp.where(idx < ms + n, 0.0,
                           jnp.where(idx < D, -delta, 1.0))
         K0 = K0 + jnp.diag(diag0)
+        if ms:
+            K0 = K0.at[:ms, ms:ms + n].set(G[st.l:])
+            K0 = K0.at[ms:ms + n, :ms].set(G[st.l:].T)
         if p:
-            K0 = K0.at[:n, n:D].set(A.T)
-            K0 = K0.at[n:D, :n].set(A)
+            K0 = K0.at[ms:ms + n, ms + n:D].set(A.T)
+            K0 = K0.at[ms + n:D, ms:ms + n].set(A)
         return KKTContext(G=G, A=A, K0=K0)
 
     # full strategy, [z | x | y] elimination order (module docstring)
@@ -141,8 +166,12 @@ def factor(st: ProblemStructure, ctx: KKTContext,
     delta = settings.deltastat
     G = ctx.G
 
-    if settings.kkt_strategy in ("reduced", "banded"):
-        D = n + p
+    if settings.kkt_strategy in ("reduced", "banded", "normal"):
+        keep_soc = _keep_soc(st, settings)
+        l = st.l
+        ms = st.m - l if keep_soc else 0   # kept (non-eliminated) SOC rows
+        me = l if keep_soc else m          # eliminated rows (G[:me])
+        D = ms + n + p
         Dp = ctx.K0.shape[-1]
         # In float32 mode the H = G'W^{-2}G product — the largest matmul of
         # an iteration — runs on the MXU in f32 (W^{-2}G itself is cheap
@@ -155,32 +184,35 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                   else jax.tree_util.tree_map(
                       lambda a: a.astype(fdtype), scal))
 
-        # the eliminated cone block is (W^2 + dI)^{-1} — closed form via
-        # Woodbury (cones.scale2reg_inv) — so this strategy is the EXACT
-        # Schur complement of the full regularized system: refinement
-        # against the full operator converges to the same directions as
-        # the "full" path (no O(delta*cond) stall near convergence).
+        # inverse of the eliminated cone block (W^2 + dI over the
+        # eliminated rows) — EXACT closed forms, so this strategy is the
+        # exact Schur complement of the full regularized system:
+        # refinement against the full operator converges to the same
+        # directions as "full" (no O(delta*cond) stall near convergence).
+        # LP diagonal of (W^2+dI)^{-1} (identity scalings at init):
         if scal is None:
+            winv_lp = jnp.full((l,), 1.0 / (1.0 + delta), fdtype)
+        else:
+            winv_lp = (1.0 / (scal_f.v_lp + delta))
+
+        if keep_soc:
+            def welim_inv_rows(v):     # v: (k, l) LP rows only
+                return v * winv_lp
+        elif scal is None:
             winv_one = jnp.asarray(1.0 / (1.0 + delta), fdtype)
 
-            def wreg_inv_rows(v):
+            def welim_inv_rows(v):     # v: (k, m)
                 return v * winv_one
+        elif st.n_sc == 0:
+            def welim_inv_rows(v):     # diagonal — plain row scaling
+                return v * winv_lp
         else:
-            def wreg_inv_rows(v):
+            # "normal": eliminate SOC blocks too, closed form via Woodbury
+            def welim_inv_rows(v):
                 return jax.vmap(lambda col: cones.scale2reg_inv(
                     st.cone, scal_f, delta, col))(v)
 
-        if m:
-            # (W^2+dI)^{-1}G and the G'(..G) product run entirely in the
-            # factor dtype: in f32 mode this avoids materializing an
-            # (m, n) float64 intermediate (emulated-f64 elementwise is the
-            # cost, not the matmul).  The factor consumes f32 anyway;
-            # refinement against the f64 operator absorbs the rounding.
-            # LP diagonal of (W^2+dI)^{-1} (identity scalings at init)
-            if scal is None:
-                winv_lp = jnp.full((st.l,), 1.0 / (1.0 + delta), fdtype)
-            else:
-                winv_lp = (1.0 / (scal_f.v_lp + delta))
+        if me:
             split = st.gsplit
             if split is not None and split.n_sing:
                 # singleton LP rows (bound constraints) contribute only to
@@ -194,8 +226,8 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     coef * coef * winv_lp[sing])
                 Gd_lp = Gf[dense_lp]
                 WiGd_lp = Gd_lp * winv_lp[dense_lp][:, None]
-                if st.n_sc:
-                    G_soc = Gf[st.l:]
+                if st.n_sc and not keep_soc:
+                    G_soc = Gf[l:]
                     if scal is None:
                         WiG_soc = G_soc * jnp.asarray(
                             1.0 / (1.0 + delta), fdtype)
@@ -212,19 +244,26 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                          else jnp.zeros((n, n), fdtype))
                     H = H + jnp.diag(hdiag + delta)
             else:
-                if st.n_sc == 0 and scal is not None:
-                    # LP-only: (W^2+dI)^{-1} is diagonal — scale rows of G
-                    # directly instead of vmapping over columns (which
-                    # would materialize and transpose an (m, n)
-                    # intermediate twice)
-                    WiG = Gf * winv_lp.astype(fdtype)[:, None]
+                if (st.n_sc == 0 or keep_soc) and scal is not None:
+                    # diagonal eliminated block: scale rows of G directly
+                    # instead of vmapping over columns (which would
+                    # materialize and transpose an (me, n) intermediate
+                    # twice)
+                    WiG = Gf[:me] * winv_lp[:, None]
                 else:
-                    WiG = wreg_inv_rows(Gf.T).T
+                    WiG = welim_inv_rows(Gf[:me].T).T
                 with jax.default_matmul_precision("highest"):
-                    H = Gf.T @ WiG + delta * jnp.eye(n, dtype=fdtype)
+                    H = Gf[:me].T @ WiG + delta * jnp.eye(n, dtype=fdtype)
         else:
             H = delta * jnp.eye(n, dtype=fdtype)
-        K = ctx.K0.astype(fdtype).at[:n, :n].set(H)
+        K = ctx.K0.astype(fdtype).at[ms:ms + n, ms:ms + n].set(H)
+        if ms:
+            # kept SOC block: -(W_soc^2 + dI), quasidefinite augmented
+            # form — SOC conditioning enters the factor linearly
+            W2s = (jnp.eye(ms, dtype=fdtype) if scal is None
+                   else cones.w2_soc_dense(st.cone, scal_f, fdtype))
+            K = K.at[:ms, :ms].set(-(W2s + delta * jnp.eye(ms,
+                                                           dtype=fdtype)))
 
         if settings.kkt_strategy == "banded":
             # symbolic plan (RCM perm + block bandwidth) is static on the
@@ -258,14 +297,18 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             # rhs: (k, n+p+m) packed rows -> (dx, dy, dz) each (k, .)
             rhs_f = rhs.astype(fdtype)
             bx, by, bz = rhs_f[:, :n], rhs_f[:, n:n + p], rhs_f[:, n + p:]
+            bz_e, bz_s = bz[:, :me], bz[:, me:]  # eliminated | kept rows
             with jax.default_matmul_precision("highest"):
-                r1 = bx + (wreg_inv_rows(bz) @ Gf if m else 0.0)
+                r1 = bx + (welim_inv_rows(bz_e) @ Gf[:me] if me else 0.0)
                 rr = jnp.zeros((Dp, rhs.shape[0]), fdtype).at[:D].set(
-                    jnp.concatenate([r1, by], axis=1).T)
+                    jnp.concatenate([bz_s, r1, by], axis=1).T)
                 x = padded_solve(rr)
-                dx = x[:n].T
-                dy = x[n:D].T
-                dz = wreg_inv_rows(dx @ Gf.T - bz) if m else bz
+                dzs = x[:ms].T
+                dx = x[ms:ms + n].T
+                dy = x[ms + n:D].T
+                dz_e = (welim_inv_rows(dx @ Gf[:me].T - bz_e) if me
+                        else bz_e)
+                dz = jnp.concatenate([dz_e, dzs], axis=1)
             return (dx.astype(rhs.dtype), dy.astype(rhs.dtype),
                     dz.astype(rhs.dtype))
 

@@ -10,9 +10,14 @@ folds the exit tests).
 Fields absent from the reference:
   * ``kkt_strategy`` — "full" factors the (n+p+m) quasidefinite KKT matrix
     (the analogue of the reference's expanded sparse LDL^T,
-    /root/reference/src/eicos.cpp:1734-1890); "reduced" eliminates the cone
-    block analytically and factors only the (n+p) system, recovering accuracy
-    by iterative refinement against the full operator.
+    /root/reference/src/eicos.cpp:1734-1890); "reduced" eliminates exactly
+    the diagonal LP cone block (factors ms+n+p, certificate-complete — the
+    speed path with full exit-code parity); "normal" also eliminates SOC
+    blocks via the closed-form (W^2+dI)^{-1} (factors n+p, fastest for
+    batches of interior SOCPs, but squares the cone conditioning — not
+    certificate-safe near SOC infeasibility); "banded" is "normal" +
+    RCM-permuted block-banded factorization (see kkt.py).  All recover
+    accuracy by iterative refinement against the full operator.
   * ``factor_dtype`` — precision of the LDL^T factorization; residuals and
     refinement always run in float64.  float32 factorization rides the TPU
     MXU at full speed and is corrected by refinement.
@@ -46,7 +51,7 @@ class Settings:
     safeguard: float = 500.0     # max PRES increase before NUMERICS
 
     # TPU-native additions
-    kkt_strategy: str = "full"   # "full" | "reduced"
+    kkt_strategy: str = "full"   # "full" | "reduced" | "normal" | "banded"
     factor_dtype: str = "float64"  # "float64" | "float32"
     block: int = 128             # LDL^T block size (MXU tile)
     # fused Pallas kernel for the 128x128 factorization leaves ("on" |

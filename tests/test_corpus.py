@@ -85,16 +85,21 @@ def test_kkt_strategies_parity(name, strategy, fdtype):
     _check_lp_objective(st, prob, sol)
 
 
-def test_reduced_soc_certificate_limitation():
-    """Known, documented limitation (kkt.py module docstring): the reduced
-    strategy squares the cone-scaling conditioning and can exit NUMERICS on
-    SOC dual-infeasibility certificates where the full path certifies.
-    This test pins the CURRENT behavior so a future fix is noticed."""
+def test_reduced_soc_certificate_parity():
+    """Round-1 limitation, now FIXED: the reduced strategy keeps SOC
+    blocks in the factor (partial elimination, kkt.py docstring), so SOC
+    infeasibility certificates mature exactly as on the full path —
+    the speed path has full exit-code parity.  The old normal-equations
+    elimination survives as kkt_strategy="normal" WITH the documented
+    limitation (conditioning-squaring near certificates)."""
     st, prob, expected = corpus.load("unboundedMaxSqrt")
     full = solve(st, prob, Settings())
     assert int(full.exit_code) == 2  # full path certifies DUAL_INFEASIBLE
     red = solve(st, prob, Settings(kkt_strategy="reduced"))
-    assert int(red.exit_code) in (2, 12, -2)  # certificate or NUMERICS
+    assert int(red.exit_code) == 2   # reduced path certifies too
+    assert int(red.info.iter) == int(full.info.iter)
+    norm = solve(st, prob, Settings(kkt_strategy="normal"))
+    assert int(norm.exit_code) in (2, 12, -2)  # documented limitation
 
 
 def test_update_data():
