@@ -48,8 +48,11 @@ import numpy as np
 # m = 2n + 2*(HORIZON-1)*NU = 4972
 HORIZON = 249
 NX, NU = 2, 4
-BATCH = 128         # max lanes per compiled batch (auto-shrinks on OOM:
-                    # f64 factors hold K + L^{-1} ~ 67 MB/lane in HBM)
+BATCH = 32          # max lanes per compiled batch (auto-shrinks on OOM).
+                    # f64 lanes are heavy: K + L^{-1} ~ 67 MB/lane, and
+                    # XLA's f64-emulated H GEMM allocates an 8-way f32
+                    # split of the whole batched (n, n) output (~0.54
+                    # GB/lane measured at n=1494)
 ROUNDS = 3          # timed batches; total solves = batch * ROUNDS
 BASELINE_PROBES = 12
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
@@ -96,7 +99,9 @@ def measure_tpu(st, batch, shared, factor_dtype="float64"):
             codes = np.asarray(jax.device_get(sols.exit_code))
             break
         except Exception as e:  # HBM OOM: halve the batch and retry
-            if "RESOURCE_EXHAUSTED" not in str(e) or nb <= 8:
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Ran out of memory" in str(e))
+            if not oom or nb <= 8:
                 raise
             nb //= 2
             print(f"batch {nb * 2} OOM, retrying at {nb}", file=sys.stderr)

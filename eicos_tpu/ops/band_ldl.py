@@ -1,4 +1,4 @@
-"""Block-banded LDL^T factorization and solves, pure-matmul.
+"""Block-banded LDL^T factorization and solves, pure-matmul, scan-based.
 
 The sparse-direct path of the framework: the reference relies on Eigen's
 AMD-ordered SimplicialLDLT for fill reduction
@@ -11,15 +11,21 @@ perfectly regular 128x128 block structure — every operation is an
 exactly-sized matmul, and the band never fills beyond its width
 (factorization preserves bandedness).
 
+The factorization and both triangular solves are single ``lax.scan``s
+over block rows with a ring buffer of the last ``bwb`` rows as carry
+(v2 — the round-1 version unrolled the block-row loop at trace time,
+emitting ~nb*bwb^2 distinct GEMMs; program size now is O(bwb^2)
+independent of nb, which keeps XLA compile time bounded for large
+problems).  Out-of-range ring slots are initialized to (L=0, Dinv=I,
+d=1) so boundary rows need no masking: zero blocks propagate exactly.
+
 Measured flop ratios vs the dense path on the reference corpus
 (PARITY.md): 3-12x for the mid/large LPnetlib problems; ~1x for MPC-class
 problems, which therefore stay on the dense recursive path (ops/ldl.py).
 
 Storage: the factor's strictly-lower band as (nb, bwb, B, B) — block row
-k holds L[k, j] for j in [k-bwb, k), newest first at index 0 —
-plus per-block diagonal inverses and pivots.  The factor loop is a
-trace-time Python loop over block rows (the band plan is static), so XLA
-sees a flat sequence of exactly-sized GEMMs.
+k holds L[k, k-1-s] at index s (newest-left neighbor first) — plus
+per-block diagonal inverses and pivots.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .ldl import _unblocked_ldl, _unit_lower_inv, pad_to_block
 
@@ -44,6 +51,23 @@ def band_blocks(bw: int, block: int = 128) -> int:
     return int(np.ceil((bw + 1) / block))
 
 
+def _band_views(K, bwb: int, B: int):
+    """Extract per-block-row scan inputs from dense K: the diagonal block
+    and the strictly-lower band row (zero-padded outside the matrix)."""
+    D = K.shape[-1]
+    nb = D // B
+    Kb = K.reshape(nb, B, nb, B).transpose(0, 2, 1, 3)  # (nb, nb, B, B)
+    rows = np.arange(nb)
+    Kdiag = Kb[rows, rows]                              # (nb, B, B)
+    # Kband[k, s] = K[k, k-1-s] or 0
+    s = np.arange(bwb)
+    cols = rows[:, None] - 1 - s[None, :]               # (nb, bwb)
+    valid = cols >= 0
+    Kband = Kb[rows[:, None], np.where(valid, cols, 0)]
+    Kband = jnp.where(jnp.asarray(valid)[:, :, None, None], Kband, 0.0)
+    return Kdiag, Kband
+
+
 def band_ldl_factor(K, bwb: int, block: int = 128) -> BandFactors:
     """Factor symmetric block-banded K (D, D), D a multiple of ``block``;
     blocks further than ``bwb`` block rows below the diagonal are assumed
@@ -52,40 +76,47 @@ def band_ldl_factor(K, bwb: int, block: int = 128) -> BandFactors:
     B = block
     assert D % B == 0, (D, B)
     nb = D // B
+    dtype = K.dtype
+    Kdiag, Kband = _band_views(K, bwb, B)
 
+    def step(carry, xs):
+        # carry rings: slot s holds block row k-1-s (newest first)
+        Lring, Dinvring, dring = carry
+        Kkk, Arow = xs
+        # row[s] = L[k, k-1-s]; leftmost (s = bwb-1) first: left blocks
+        # feed the ones to their right
+        row = [None] * bwb
+        for t in range(bwb, 0, -1):          # j = k - t
+            Akj = Arow[t - 1]
+            # K[k,j] = sum_{i<=j} L[k,i] D_i L[j,i]^T; subtract i < j
+            # (i = k - u, u in (t, bwb]); L[j,i] = Lring[t-1][u-t-1]
+            for u in range(t + 1, bwb + 1):
+                Akj = Akj - ((row[u - 1] * dring[u - 1][None, :])
+                             @ Lring[t - 1, u - t - 1].T)
+            # i = j term: L[k,j] = Akj Dinv_j^T / d_j
+            row[t - 1] = (Akj @ Dinvring[t - 1].T) / dring[t - 1][None, :]
+        # diagonal Schur update + leaf factorization
+        for t in range(1, bwb + 1):
+            Kkk = Kkk - (row[t - 1] * dring[t - 1][None, :]) @ row[t - 1].T
+        Ld, dd = _unblocked_ldl(Kkk)
+        Dinvk = _unit_lower_inv(Ld)
+        rowk = jnp.stack(row)                # (bwb, B, B), index s = t-1
+        new_carry = (
+            jnp.concatenate([rowk[None], Lring[:-1]]),
+            jnp.concatenate([Dinvk[None], Dinvring[:-1]]),
+            jnp.concatenate([dd[None], dring[:-1]]),
+        )
+        return new_carry, (rowk, Dinvk, dd)
+
+    eye = jnp.eye(B, dtype=dtype)
+    carry0 = (
+        jnp.zeros((bwb, bwb, B, B), dtype),          # L = 0 outside
+        jnp.broadcast_to(eye, (bwb, B, B)),          # Dinv = I outside
+        jnp.ones((bwb, B), dtype),                   # d = 1 outside
+    )
     with jax.default_matmul_precision("highest"):
-        Lrows = []       # Lrows[k][s] = L[k, k-1-s] (strictly-lower band)
-        Dinvs = []       # unit-lower inverse of each factored diagonal
-        dvals = []       # pivots per block row
-
-        for k in range(nb):
-            lo = max(0, k - bwb)
-            # off-diagonal row blocks L[k, j], left to right (left blocks
-            # feed the ones to their right)
-            row = {}
-            for j in range(lo, k):
-                Akj = K[k * B:(k + 1) * B, j * B:(j + 1) * B]
-                # K[k,j] = sum_{i<=j} L[k,i] D_i L[j,i]^T; subtract i<j
-                # (L[j,i] exists iff i >= j-bwb, L[k,i] iff i >= lo)
-                for i in range(max(lo, j - bwb), j):
-                    Lji = Lrows[j][j - 1 - i]
-                    Akj = Akj - (row[i] * dvals[i][None, :]) @ Lji.T
-                # i = j term: A = L[k,j] D_j L_jj^T
-                # =>  L[k,j] = A L_jj^{-T} D_j^{-1}
-                row[j] = (Akj @ Dinvs[j].T) / dvals[j][None, :]
-            # diagonal Schur update + leaf factorization
-            Kkk = K[k * B:(k + 1) * B, k * B:(k + 1) * B]
-            for j in range(lo, k):
-                Kkk = Kkk - (row[j] * dvals[j][None, :]) @ row[j].T
-            Ld, dd = _unblocked_ldl(Kkk)
-            Dinvs.append(_unit_lower_inv(Ld))
-            dvals.append(dd)
-            Lrows.append([row.get(k - 1 - s, jnp.zeros((B, B), K.dtype))
-                          for s in range(bwb)])
-
-        Lband = jnp.stack([jnp.stack(r) for r in Lrows])
-        return BandFactors(Lband=Lband, d=jnp.concatenate(dvals),
-                           Dinv=jnp.stack(Dinvs))
+        _, (Lband, Dinv, dvals) = lax.scan(step, carry0, (Kdiag, Kband))
+    return BandFactors(Lband=Lband, d=dvals.reshape(-1), Dinv=Dinv)
 
 
 def band_ldl_solve(fac: BandFactors, rhs, bwb: int, block: int = 128):
@@ -96,25 +127,40 @@ def band_ldl_solve(fac: BandFactors, rhs, bwb: int, block: int = 128):
     single = rhs.ndim == 1
     x = rhs[:, None] if single else rhs
     k_rhs = x.shape[1]
+    dtype = x.dtype
+    xb = x.reshape(nb, B, k_rhs)
 
     with jax.default_matmul_precision("highest"):
-        # forward: (L+I) y = rhs, block rows top down
-        ys = []
-        for kk in range(nb):
-            acc = x[kk * B:(kk + 1) * B]
-            lo = max(0, kk - bwb)
-            for j in range(lo, kk):
-                acc = acc - Lband[kk, kk - 1 - j] @ ys[j]
-            ys.append(Dinv[kk] @ acc)
-        y = jnp.concatenate(ys, axis=0)
-        y = y / d[:, None]
-        # backward: (L+I)^T z = y, block rows bottom up
-        zs = [None] * nb
-        for kk in range(nb - 1, -1, -1):
-            acc = y[kk * B:(kk + 1) * B]
-            hi = min(nb, kk + bwb + 1)
-            for i in range(kk + 1, hi):
-                acc = acc - Lband[i, i - 1 - kk].T @ zs[i]
-            zs[kk] = Dinv[kk].T @ acc
-        z = jnp.concatenate(zs, axis=0)
+        # forward: (L+I) y = rhs, block rows top down; carry = last bwb y
+        def fwd(yring, xs):
+            Lk, Dinvk, xk = xs
+            acc = xk
+            for t in range(1, bwb + 1):      # y_{k-t} = yring[t-1]
+                acc = acc - Lk[t - 1] @ yring[t - 1]
+            yk = Dinvk @ acc
+            return jnp.concatenate([yk[None], yring[:-1]]), yk
+
+        yring0 = jnp.zeros((bwb, B, k_rhs), dtype)
+        _, y = lax.scan(fwd, yring0, (Lband, Dinv, xb))
+        y = y.reshape(-1, k_rhs) / d[:, None]
+
+        # backward: (L+I)^T z = y, block rows bottom up; carry = ring of
+        # the last bwb z blocks AND the corresponding Lband rows (row k
+        # needs L[k+t][t-1]^T z_{k+t}, i.e. rows below itself)
+        yb = y.reshape(nb, B, k_rhs)
+
+        def bwd(carry, xs):
+            zring, Lring = carry
+            Lk, Dinvk, yk = xs
+            acc = yk
+            for t in range(1, bwb + 1):      # z_{k+t}, L[k+t]
+                acc = acc - Lring[t - 1, t - 1].T @ zring[t - 1]
+            zk = Dinvk.T @ acc
+            return ((jnp.concatenate([zk[None], zring[:-1]]),
+                     jnp.concatenate([Lk[None], Lring[:-1]])), zk)
+
+        carry0 = (jnp.zeros((bwb, B, k_rhs), dtype),
+                  jnp.zeros((bwb, bwb, B, B), dtype))
+        _, z = lax.scan(bwd, carry0, (Lband, Dinv, yb), reverse=True)
+        z = z.reshape(-1, k_rhs)
     return z[:, 0] if single else z

@@ -1,4 +1,6 @@
-"""Float64-accurate matmul on the TPU MXU via mantissa slicing.
+"""EXPERIMENTAL building block — not wired into the solver hot path.
+
+Float64-accurate matmul on the TPU MXU via mantissa slicing.
 
 TPU v5e has no native float64 ALU; f64 matmuls are emulated.  This module implements the Ozaki
 splitting scheme: each f64 operand is decomposed into S narrow-mantissa
@@ -25,10 +27,13 @@ relative error ~2^-54 per operand pair — i.e. genuinely float64-quality
 results from (S^2+S)/2 = 45 bf16 matmul passes.  45 MXU passes beat one
 VPU-emulated f64 matmul by >100x at these sizes.
 
-Used for the iterative-refinement residuals and the IPM convergence
-residuals — the places that *must* be f64 while everything else runs in
-f32 (see kkt.py).  The reference needs none of this: host CPUs have
-native f64 (Eigen, /root/reference/include/eicos.hpp:3).
+Status (round 2): measured on the refinement/residual matmuls too —
+those are skinny (k <= 3 columns), where the slicing overhead dominates
+and XLA's emulation wins outright, so this module has NO consumer in the
+package.  It stays as a tested experimental kernel for future Pallas
+factorizations needing f64 accumulation inside a kernel (where XLA's
+emulation is unavailable).  The reference needs none of this: host CPUs
+have native f64 (Eigen, /root/reference/include/eicos.hpp:3).
 """
 
 from __future__ import annotations

@@ -54,6 +54,10 @@ class Settings:
     kkt_strategy: str = "full"   # "full" | "reduced" | "normal" | "banded"
     factor_dtype: str = "float64"  # "float64" | "float32"
     block: int = 128             # LDL^T block size (MXU tile)
+    # stream the iteration table DURING the solve via jax.debug.callback
+    # (the reference's verbose mode prints live, src/eicos.cpp:733-753);
+    # off by default so the hot path stays sync-free
+    verbose_live: bool = False
     # fused Pallas kernel for the 128x128 factorization leaves ("on" |
     # "off"); f32-on-TPU only.  Correct and available, but measured at
     # parity or slightly behind the plain-XLA leaf on current hardware

@@ -356,6 +356,16 @@ def solve(structure: ProblemStructure, data: ProblemData,
             nitref3=rec(stt.hist.nitref3, w.nitref3),
         )
 
+        if settings.verbose_live:
+            # stream the row DURING the solve (the reference prints inside
+            # updateStatistics, /root/reference/src/eicos.cpp:733-753);
+            # static flag — zero cost when off
+            from .utils.printing import live_row_callback
+            jax.debug.callback(live_row_callback, i, pcost, dcost, gap,
+                               pres, dres, kapovert, mu, w.step, w.sigma,
+                               w.nitref1, w.nitref2, w.nitref3,
+                               ordered=False)
+
         # ============ exit logic ============
         # safeguard: pres explosion or negative gap (:1010-1041)
         safeguard_trip = (i > 0) & ((pres > settings.safeguard * stt.pres_prev)

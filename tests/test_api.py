@@ -58,6 +58,22 @@ def test_verbose_prints(capsys):
     assert "OPTIMAL" in out and "pcost" in out
 
 
+def test_verbose_live_streams(capsys):
+    """Settings(verbose_live=True) streams the iteration table DURING the
+    solve via jax.debug.callback (the reference prints live,
+    /root/reference/src/eicos.cpp:733-753)."""
+    import jax
+
+    G = np.vstack([np.eye(2), -np.eye(2)])
+    s = Solver(G, None, np.array([-1.0, 0.5]), np.ones(4), None,
+               settings=Settings(verbose_live=True))
+    s.solve()
+    jax.effects_barrier()
+    out = capsys.readouterr().out
+    assert "pcost" in out            # header
+    assert out.count("\n") >= 3      # several live rows
+
+
 def test_settings_are_static():
     """Different Settings recompile; equal Settings hit the jit cache."""
     assert hash(Settings()) == hash(Settings())

@@ -71,6 +71,25 @@ def test_full(name):
     _run(name, Settings(kkt_strategy="reduced"))
 
 
+@pytest.mark.full
+@pytest.mark.parametrize("name", ["lp_bandm", "lp_agg"])
+def test_full_strategy_at_scale(name):
+    """The parity-default "full" strategy's [z x y] elimination-order
+    robustness claim (kkt.py) exercised at scale (full KKT dims 1554 and
+    ~2300; round-1 only tested "full" at <=300 dims).  The 5991-dim MPC02
+    case runs on TPU via tools/full_scale_check.py (f64 factors at that
+    scale are impractical on the CPU test runner; f32 factors collapse at
+    mu ~ 1e-5 for 6k-dim systems — measured, see baselines/).
+    """
+    st, prob, expected = corpus.load(name)
+    sol = solve(st, prob, Settings(kkt_strategy="full"))
+    code = int(sol.exit_code)
+    assert code in [int(e) for e in expected], (
+        f"{name} full/f64: exit {code}, iters {int(sol.info.iter)}, "
+        f"pres {float(sol.info.pres):.2e} dres {float(sol.info.dres):.2e}")
+    _check_lp_objective(st, prob, sol, rtol=1e-5)
+
+
 @pytest.mark.parametrize("name", ["feas", "issue98", "lp_afiro",
                                   "unboundedLP1", "infeasible1"])
 @pytest.mark.parametrize("strategy,fdtype", [("reduced", "float64"),

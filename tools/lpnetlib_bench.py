@@ -51,6 +51,8 @@ def main():
             from eicos_tpu.plan import make_band_plan
 
             st = st.with_band_plan(make_band_plan(st, prob.G, prob.A))
+        if args.strategy in ("reduced", "banded", "normal"):
+            st = st.with_gsplit(prob.G)  # singleton bound rows -> diag H
         def run():
             # force a device->host fetch: through the TPU tunnel,
             # block_until_ready alone does not guarantee completion
