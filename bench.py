@@ -26,12 +26,14 @@ corpus cannot provide (its SOCPs are tiny correctness checks).  No CPU
 SOCP baseline exists in this image (no ecos/cvxpy/Eigen), so the SOCP
 lane reports absolute throughput only.
 
-The CPU baseline is scipy's HiGHS (the reference EiCOS cannot be compiled
-here — no Eigen in the image, no network egress to fetch it, and no ecos/
-cvxpy wheels baked in; HiGHS is a *stronger* CPU LP baseline than EiCOS's
-generic IPM, so vs_baseline is conservative).  Baseline is measured on
-the same problem instances and cached in baselines/highs_baseline.json
-keyed by the problem dimensions (per-probe times recorded).
+The primary CPU baseline is the REAL reference EiCOS, compiled from the
+unmodified /root/reference sources against baselines/ref_build's
+mini_eigen shim and measured on the exact same problem instances via its
+updateData fast path (tools/ref_baseline.py -> baselines/
+eicos_reference.json; single CPU core; a lower bound on a real-Eigen
+build since mini_eigen's LDL^T uses RCM ordering, not AMD).  scipy-HiGHS
+(dense input) is kept as an auxiliary anchor in baselines/
+highs_baseline.json (measured on the same instances, median of probes).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
 auxiliary fields (SOCP lane, lane counts) that the driver ignores.
@@ -161,6 +163,21 @@ def measure_highs(st, probs):
     return rate
 
 
+def eicos_ref_rate():
+    """Measured reference-EiCOS updateData-loop rate on the exact same
+    problem instances (tools/ref_baseline.py -> baselines/
+    eicos_reference.json).  Single CPU core; mini_eigen build, so a
+    lower bound on a real-Eigen build's speed."""
+    path = os.path.join(os.path.dirname(__file__), "baselines",
+                        "eicos_reference.json")
+    try:
+        with open(path) as f:
+            return float(
+                json.load(f)["mpc_updatedata_bench"]["solves_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def main():
     st, probs, batch, shared = build_batch()
     tpu_rate, n_ok, codes, nb = measure_tpu(st, batch, shared)
@@ -168,6 +185,7 @@ def main():
         print(f"WARNING: only {n_ok}/{nb} optimal; codes={codes}",
               file=sys.stderr)
     highs_rate = measure_highs(st, probs)
+    ref_rate = eicos_ref_rate()
 
     st_s, batch_s, shared_s = build_socp_batch()
     socp_rate, socp_ok, socp_codes, nb_s = measure_tpu(st_s, batch_s,
@@ -175,11 +193,19 @@ def main():
     if socp_ok != nb_s:
         print(f"WARNING: SOCP lane only {socp_ok}/{nb_s} optimal; "
               f"codes={socp_codes}", file=sys.stderr)
+    # vs_baseline is vs the REAL reference EiCOS (updateData+solve loop,
+    # tools/ref_baseline.py, single CPU core) when measured; HiGHS-on-
+    # dense kept as an auxiliary anchor.  Falls back to HiGHS if the
+    # reference baseline JSON is absent.
+    base_rate = ref_rate if ref_rate else highs_rate
     print(json.dumps({
         "metric": "mpc01_lp_batch_solves_per_sec",
         "value": round(tpu_rate, 3),
         "unit": "solves/s",
-        "vs_baseline": round(tpu_rate / highs_rate, 3),
+        "vs_baseline": round(tpu_rate / base_rate, 3),
+        "baseline": ("eicos_reference_cpu" if ref_rate else "scipy_highs"),
+        "eicos_ref_solves_per_sec": ref_rate,
+        "vs_highs": round(tpu_rate / highs_rate, 3),
         "lp_lanes_optimal": f"{n_ok}/{nb}",
         "lp_dims": {"n": st.n, "p": st.p, "m": st.m},
         "socp_solves_per_sec": round(socp_rate, 3),

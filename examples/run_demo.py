@@ -9,9 +9,14 @@ Run:  python examples/run_demo.py [--horizon 40] [--batch 0]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable from anywhere: the package lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
