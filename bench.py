@@ -13,11 +13,16 @@ Batch layout mirrors the reference's updateData sweep
 c/b per solve — lanes share G/A/h (unbatched under vmap, so equilibration
 and the KKT base assembly happen once) and vary c, b.
 
-Solver configuration: reduced (normal-equations) KKT strategy, float64
-factors (XLA's f64 matmul emulation rides the MXU at ~19 TFLOP/s on v5e).
-float32 factorization is faster on the box-only family but the rate-bound
-rows put a ~1e7-stiff chain-coupled subspace into H = G'W^{-2}G that f32
-cannot factor near convergence — measured, not assumed; bench refuses to
+Solver configuration: banded KKT strategy (RCM gives block bandwidth 1
+on this staircase family) with the fused double-single Pallas kernels
+(ops/pallas_band_ds.py: whole factor / whole triangular-solve chain per
+kernel launch at ~2^-48 precision) + float64 iterative refinement whose
+residual matvecs run through the double-single GEMV kernel
+(ops/pallas_gemm_ds.py).  Plain float32 factors fail this family (the
+rate-bound rows put a ~1e7-stiff chain-coupled subspace into
+H = G'W^{-2}G that f32 cannot factor near convergence) and XLA's f64
+matmul emulation is a chunked while-loop whose latency dominates at
+KKT block sizes — both measured, see CLAUDE.md.  The bench refuses to
 report a rate unless every lane exits OPTIMAL.
 
 A second lane benchmarks a genuinely conic family (make_mpc_soc: per-step
@@ -65,10 +70,12 @@ def build_batch():
     import eicos_tpu  # noqa: F401
     from eicos_tpu import corpus
     from eicos_tpu.api import BatchedSolver
+    from eicos_tpu.plan import make_band_plan
 
     rng = np.random.default_rng(7)
     st, base = corpus.make_mpc_like(horizon=HORIZON, nx=NX, nu=NU, seed=3)
     st = st.with_gsplit(base.G)
+    st = st.with_band_plan(make_band_plan(st, base.G, base.A))
     probs = []
     for _ in range(BATCH):
         c = np.asarray(base.c) + 0.02 * rng.standard_normal(st.n)
@@ -91,7 +98,7 @@ def measure_tpu(st, batch, shared, factor_dtype="float64"):
     from eicos_tpu.api import BatchedSolver
     from eicos_tpu.settings import Settings
 
-    settings = Settings(kkt_strategy="reduced", factor_dtype=factor_dtype)
+    settings = Settings(kkt_strategy="banded", factor_dtype=factor_dtype)
     bs = BatchedSolver(st, settings, shared=shared)
     nb = BATCH
     while True:
@@ -122,9 +129,12 @@ def build_socp_batch():
     from eicos_tpu import corpus
     from eicos_tpu.api import BatchedSolver
 
+    from eicos_tpu.plan import make_band_plan
+
     rng = np.random.default_rng(11)
     st, base = corpus.make_mpc_soc(horizon=HORIZON, nx=NX, nu=NU, seed=5)
     st = st.with_gsplit(base.G)
+    st = st.with_band_plan(make_band_plan(st, base.G, base.A))
     probs = []
     for _ in range(BATCH):
         c = np.asarray(base.c) + 0.02 * rng.standard_normal(st.n)

@@ -70,6 +70,8 @@ discrepancy we do not reproduce.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Optional
 
 import jax
@@ -83,11 +85,55 @@ from .structure import ProblemStructure
 
 
 class KKTContext(NamedTuple):
-    """Per-solve constants: equilibrated data + static base matrix."""
+    """Per-solve constants: equilibrated data + static base matrix.
+
+    On TPU at float64, the s* fields hold Ozaki-presliced versions of
+    G/A and their transposes (ops/f64mm.SlicedOperand): XLA's native
+    f64 dot emulation is a chunked while loop whose latency dominates
+    the skinny residual/elimination matvecs of iterative refinement;
+    the presliced form turns each into straight-line bf16 MXU passes.
+    The slices are built once per solve from loop-invariant data (XLA
+    hoists them out of the IPM while-loop).
+    """
 
     G: jax.Array       # (m, n)
     A: jax.Array       # (p, n)
     K0: jax.Array      # full: (Dp, Dp) with A/G blocks; reduced: (Dpr, Dpr)
+    sG: object = None    # x @ G
+    sGT: object = None   # x @ G.T
+    sA: object = None    # x @ A
+    sAT: object = None   # x @ A.T
+    sGe: object = None   # x @ G[:me]   (eliminated rows)
+    sGeT: object = None  # x @ G[:me].T
+
+
+def _oz_mm(sliced, a, bmat):
+    """a @ bmat, via the presliced Ozaki path when available."""
+    if sliced is not None:
+        return sliced.rmatmul(a)
+    return a @ bmat
+
+
+def _make_sliced(G, A, me: int):
+    """Prepare G/A (+ the eliminated-row block) as Pallas double-single
+    big operands for f64-on-TPU solves (ops/pallas_gemm_ds.BigOperand:
+    one HBM read of an (hi, lo) f32 pair per product; the XLA-level
+    Ozaki preslicing in ops/f64mm re-reads the operand per slice pair
+    and measured slower)."""
+    from .ops.pallas_gemm_ds import BigOperand, gemv_ds_available
+
+    if not gemv_ds_available() or G.dtype != jnp.float64:
+        return {}
+    m = G.shape[0]
+    p = A.shape[0]
+    out = dict(sG=BigOperand(G), sGT=BigOperand(G.T))
+    if p:
+        out.update(sA=BigOperand(A), sAT=BigOperand(A.T))
+    if me == m:
+        out.update(sGe=out["sG"], sGeT=out["sGT"])
+    elif me:
+        out.update(sGe=BigOperand(G[:me]), sGeT=BigOperand(G[:me].T))
+    return out
 
 
 def _keep_soc(st: ProblemStructure, settings) -> bool:
@@ -117,7 +163,8 @@ def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
         if p:
             K0 = K0.at[ms:ms + n, ms + n:D].set(A.T)
             K0 = K0.at[ms + n:D, ms:ms + n].set(A)
-        return KKTContext(G=G, A=A, K0=K0)
+        me = st.l if _keep_soc(st, settings) else m
+        return KKTContext(G=G, A=A, K0=K0, **_make_sliced(G, A, me))
 
     # full strategy, [z | x | y] elimination order (module docstring)
     D = st.dim_kkt
@@ -134,7 +181,7 @@ def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
     if p:
         K0 = K0.at[m:m + n, m + n:D].set(A.T)
         K0 = K0.at[m + n:D, m:m + n].set(A)
-    return KKTContext(G=G, A=A, K0=K0)
+    return KKTContext(G=G, A=A, K0=K0, **_make_sliced(G, A, 0))
 
 
 def _factor_in_dtype(K, settings) -> LDLFactors:
@@ -145,13 +192,73 @@ def _factor_in_dtype(K, settings) -> LDLFactors:
     if settings.factor_dtype == "float32":
         return ldl_factor(K.astype(jnp.float32), block=settings.block,
                           use_pallas=settings.pallas_leaf)
-    return ldl_factor(K, block=settings.block, use_pallas="off")
+    # float64 uses the double-single Pallas leaf on TPU (ops/ldl._leaf)
+    return ldl_factor(K, block=settings.block,
+                      use_pallas=settings.pallas_leaf)
 
 
 def _solve_padded(fac: LDLFactors, rr):
     """ldl_solve in the factor dtype, result cast back to the rhs dtype."""
     out = ldl_solve(fac, rr.astype(fac.Linv.dtype))
     return out.astype(rr.dtype)
+
+
+def _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype, settings):
+    """Write the per-iteration blocks (H, kept-SOC -(W^2+dI)) into the
+    static base matrix — the dense-path analogue of the reference's
+    cached-pointer value overwrites (KKT_V_ptr)."""
+    n = st.n
+    delta = settings.deltastat
+    K = ctx.K0.astype(fdtype).at[ms:ms + n, ms:ms + n].set(H)
+    if ms:
+        # kept SOC block: -(W_soc^2 + dI), quasidefinite augmented
+        # form — SOC conditioning enters the factor linearly
+        W2s = (jnp.eye(ms, dtype=fdtype) if scal is None
+               else cones.w2_soc_dense(st.cone, scal_f, fdtype))
+        K = K.at[:ms, :ms].set(-(W2s + delta * jnp.eye(ms, dtype=fdtype)))
+    return K
+
+
+@functools.lru_cache(maxsize=32)
+def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple):
+    """Static index maps: permuted block-tridiagonal blocks -> positions
+    in flat [H.ravel() | A.ravel() | (-delta, 0, 1)] source.
+
+    K = [[H, A'], [A, -delta I]] (normal-equations elimination; the
+    banded plan covers n + p), padding rows get identity pivots."""
+    perm = np.asarray(perm)
+    D = n + p
+    base_A = n * n
+    c_negd = base_A + p * n
+    c_zero = c_negd + 1
+    c_one = c_negd + 2
+
+    def src_block(ivec, jvec):
+        ii = ivec[:, None].astype(np.int64)
+        jj = jvec[None, :].astype(np.int64)
+        out = np.full((len(ivec), len(jvec)), c_zero, np.int64)
+        m = (ii < n) & (jj < n)
+        out = np.where(m, ii * n + jj, out)
+        m = (ii < n) & (jj >= n) & (jj < D)
+        out = np.where(m, base_A + (jj - n) * n + ii, out)
+        m = (ii >= n) & (ii < D) & (jj < n)
+        out = np.where(m, base_A + (ii - n) * n + jj, out)
+        m = (ii == jj) & (ii >= n)
+        out = np.where(m & (ii < D), c_negd, out)
+        out = np.where(m & (ii >= D), c_one, out)
+        return out
+
+    nb = Dp // 128
+    idx_diag = np.empty((nb, 128, 128), np.int32)
+    idx_sub = np.full((nb, 128, 128), c_zero, np.int32)
+    for k in range(nb):
+        rows = perm[k * 128:(k + 1) * 128]
+        idx_diag[k] = src_block(rows, rows)
+        if k:
+            idx_sub[k] = src_block(rows, perm[(k - 1) * 128:k * 128])
+    # numpy, NOT jnp: the lru_cache outlives any single trace, and a
+    # cached tracer would leak into the next jit trace
+    return idx_diag, idx_sub
 
 
 def factor(st: ProblemStructure, ctx: KKTContext,
@@ -214,16 +321,40 @@ def factor(st: ProblemStructure, ctx: KKTContext,
 
         if me:
             split = st.gsplit
-            if split is not None and split.n_sing:
+            if split is not None and (split.n_sing or split.n_spr):
                 # singleton LP rows (bound constraints) contribute only to
-                # the diagonal of H: drop them from the GEMM, scatter-add
-                # G[r,j]^2 * winv[r] onto H[j,j] (structure.GSplit doc)
+                # the diagonal of H: scatter G[r,j]^2 * winv[r] onto
+                # H[j,j].  Few-nnz LP rows ("scatter rows", e.g. MPC rate
+                # bounds with 2 nnz) contribute w_r*g_i*g_j on at most
+                # spr_width^2 static positions: one scatter-add replaces
+                # their share of the GEMM (structure.GSplit doc).  Only
+                # LP rows with nnz > spr_width remain in the matmul — for
+                # the MPC families that is ZERO rows, removing the
+                # dominant per-iteration GEMM and the HBM spike of XLA's
+                # f64-emulated matmul entirely.
                 sing = np.asarray(split.sing_rows)
                 scol = np.asarray(split.sing_cols)
                 dense_lp = np.asarray(split.dense_rows, dtype=np.int64)
                 coef = Gf[sing, scol]
                 hdiag = jnp.zeros((n,), fdtype).at[scol].add(
                     coef * coef * winv_lp[sing])
+                if split.n_spr:
+                    w = split.spr_width
+                    spr = np.asarray(split.spr_rows)
+                    cols2 = np.asarray(split.spr_cols,
+                                       dtype=np.int64).reshape(-1, w)
+                    Gpad = jnp.concatenate(
+                        [Gf, jnp.zeros((m, 1), fdtype)], axis=1)
+                    C = Gpad[spr[:, None], cols2]        # (n_spr, w)
+                    P = (C[:, :, None] * C[:, None, :]
+                         * winv_lp[spr][:, None, None])
+                    flat = (cols2[:, :, None] * (n + 1)
+                            + cols2[:, None, :]).ravel()  # static
+                    Hs = (jnp.zeros(((n + 1) * (n + 1),), fdtype)
+                          .at[flat].add(P.ravel())
+                          .reshape(n + 1, n + 1)[:n, :n])
+                else:
+                    Hs = 0.0
                 Gd_lp = Gf[dense_lp]
                 WiGd_lp = Gd_lp * winv_lp[dense_lp][:, None]
                 if st.n_sc and not keep_soc:
@@ -242,7 +373,7 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 with jax.default_matmul_precision("highest"):
                     H = (Gd.T @ WiGd if Gd.shape[0]
                          else jnp.zeros((n, n), fdtype))
-                    H = H + jnp.diag(hdiag + delta)
+                    H = H + Hs + jnp.diag(hdiag + delta)
             else:
                 if (st.n_sc == 0 or keep_soc) and scal is not None:
                     # diagonal eliminated block: scale rows of G directly
@@ -256,19 +387,13 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     H = Gf[:me].T @ WiG + delta * jnp.eye(n, dtype=fdtype)
         else:
             H = delta * jnp.eye(n, dtype=fdtype)
-        K = ctx.K0.astype(fdtype).at[ms:ms + n, ms:ms + n].set(H)
-        if ms:
-            # kept SOC block: -(W_soc^2 + dI), quasidefinite augmented
-            # form — SOC conditioning enters the factor linearly
-            W2s = (jnp.eye(ms, dtype=fdtype) if scal is None
-                   else cones.w2_soc_dense(st.cone, scal_f, fdtype))
-            K = K.at[:ms, :ms].set(-(W2s + delta * jnp.eye(ms,
-                                                           dtype=fdtype)))
 
         if settings.kkt_strategy == "banded":
             # symbolic plan (RCM perm + block bandwidth) is static on the
             # structure; factor the permuted system block-banded
             from .ops.band_ldl import band_ldl_factor, band_ldl_solve
+            from .ops.pallas_band_ds import (KP, band_ds_available,
+                                             band_factor_ds, band_solve_ds)
 
             plan = st.band
             assert plan is not None, (
@@ -278,17 +403,55 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             perm = np.asarray(plan.perm)
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(len(perm))
-            Kp = K[perm][:, perm]
-            bfac = band_ldl_factor(Kp, plan.bwb, block=plan.block)
+            use_ds = (plan.bwb == 1 and plan.block == 128
+                      and fdtype == jnp.float64
+                      and settings.pallas_leaf in ("on", "auto")
+                      and band_ds_available())
+            if use_ds:
+                # block-tridiagonal: whole factor + each solve fused into
+                # double-single Pallas kernels (ops/pallas_band_ds.py) —
+                # no float64 matmuls (which lower to chunked while-loop
+                # emulations) anywhere in the hot path.  The permuted
+                # band blocks are GATHERED straight out of H/A via
+                # static index maps — the dense (Dp, Dp) K is never
+                # materialized (doing so cost ~4 full-matrix copies per
+                # iteration and capped the batch size).
+                idx_diag, idx_sub = _band_gather_idx(
+                    n, p, Dp, tuple(int(v) for v in perm))
+                flatsrc = jnp.concatenate([
+                    H.reshape(-1),
+                    (ctx.A.astype(fdtype).reshape(-1) if p
+                     else jnp.zeros((0,), fdtype)),
+                    jnp.asarray([-delta, 0.0, 1.0], fdtype)])
+                dsfac = band_factor_ds(flatsrc[idx_diag],
+                                       flatsrc[idx_sub])
 
-            def padded_solve(rr):
-                xp = band_ldl_solve(bfac, rr[perm], plan.bwb,
-                                    block=plan.block)
-                return xp[iperm]
+                def padded_solve(rr):
+                    k = rr.shape[1]
+                    assert k <= KP, (k, KP)
+                    rhs_t = (jnp.zeros((KP, Dp), rr.dtype)
+                             .at[:k].set(rr[perm].T))
+                    out = band_solve_ds(dsfac, rhs_t)
+                    return out[:k].T[iperm]
+            else:
+                K = _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype,
+                                    settings)
+                gdt = (jnp.float32 if settings.band_gemm == "float32"
+                       else None)
+                bfac = band_ldl_factor(K[perm][:, perm], plan.bwb,
+                                       block=plan.block,
+                                       use_pallas=settings.pallas_leaf,
+                                       gemm_dtype=gdt)
+
+                def padded_solve(rr):
+                    xp = band_ldl_solve(bfac, rr[perm], plan.bwb,
+                                        block=plan.block, gemm_dtype=gdt)
+                    return xp[iperm]
         else:
+            K = _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype,
+                                settings)
             fac = ldl_factor(K, block=settings.block,
-                             use_pallas=settings.pallas_leaf
-                             if fdtype == jnp.float32 else "off")
+                             use_pallas=settings.pallas_leaf)
 
             def padded_solve(rr):
                 return ldl_solve(fac, rr)
@@ -299,15 +462,19 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             bx, by, bz = rhs_f[:, :n], rhs_f[:, n:n + p], rhs_f[:, n + p:]
             bz_e, bz_s = bz[:, :me], bz[:, me:]  # eliminated | kept rows
             with jax.default_matmul_precision("highest"):
-                r1 = bx + (welim_inv_rows(bz_e) @ Gf[:me] if me else 0.0)
+                oz = ctx.sGe is not None and fdtype == jnp.float64
+                r1 = bx + ((_oz_mm(ctx.sGe, welim_inv_rows(bz_e), None)
+                            if oz else welim_inv_rows(bz_e) @ Gf[:me])
+                           if me else 0.0)
                 rr = jnp.zeros((Dp, rhs.shape[0]), fdtype).at[:D].set(
                     jnp.concatenate([bz_s, r1, by], axis=1).T)
                 x = padded_solve(rr)
                 dzs = x[:ms].T
                 dx = x[ms:ms + n].T
                 dy = x[ms + n:D].T
-                dz_e = (welim_inv_rows(dx @ Gf[:me].T - bz_e) if me
-                        else bz_e)
+                dz_e = (welim_inv_rows(
+                    (_oz_mm(ctx.sGeT, dx, None) if oz
+                     else dx @ Gf[:me].T) - bz_e) if me else bz_e)
                 dz = jnp.concatenate([dz_e, dzs], axis=1)
             return (dx.astype(rhs.dtype), dy.astype(rhs.dtype),
                     dz.astype(rhs.dtype))
@@ -389,15 +556,15 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
 
     def residual(dx, dy, dz):
         # ex = bx - G'dz - A'dy - d*dx   (:1514-1521)
-        ex = bx - (dz @ G if m else 0.0) - delta * dx
+        ex = bx - (_oz_mm(ctx.sG, dz, G) if m else 0.0) - delta * dx
         if p:
-            ex = ex - dy @ A
+            ex = ex - _oz_mm(ctx.sA, dy, A)
         # ey = by - A dx + d*dy          (:1524-1531)
-        ey = by - dx @ A.T + delta * dy if p else by
+        ey = (by - _oz_mm(ctx.sAT, dx, A.T) + delta * dy) if p else by
         # ez = bz - G dx + W^2 dz (+ d*dz on the full operator)
         if m:
             Wdz = dz if scale2_rows is None else scale2_rows(dz)
-            ez = bz - dx @ G.T + Wdz + dz_reg * dz
+            ez = bz - _oz_mm(ctx.sGT, dx, G.T) + Wdz + dz_reg * dz
         else:
             ez = bz
         nerr = (jnp.max(jnp.abs(ex), axis=1) if n

@@ -68,16 +68,54 @@ def _band_views(K, bwb: int, B: int):
     return Kdiag, Kband
 
 
-def band_ldl_factor(K, bwb: int, block: int = 128) -> BandFactors:
+def _band_leaf(Kkk, use_pallas: str):
+    """Diagonal-block leaf -> (Dinv, d).  On TPU the double-single
+    Pallas kernel (float64) or the plain float32 kernel replaces the
+    128-step sequential rank-1 loop (one launch per block row instead
+    of ~128x8 latency-bound XLA ops)."""
+    B = Kkk.shape[-1]
+    if use_pallas in ("on", "auto") and B == 128:
+        if Kkk.dtype == jnp.float64:
+            from .pallas_leaf import pallas_available
+            from .pallas_leaf_ds import leaf_ldl_pallas_ds
+
+            if pallas_available():
+                _, dd, Xinv = leaf_ldl_pallas_ds(Kkk[None])
+                return Xinv[0], dd[0]
+        elif Kkk.dtype == jnp.float32:
+            from .pallas_leaf import leaf_ldl_pallas, pallas_available
+
+            if pallas_available():
+                Linv, dd = leaf_ldl_pallas(Kkk[None])
+                return Linv[0], dd[0]
+    Ld, dd = _unblocked_ldl(Kkk)
+    return _unit_lower_inv(Ld), dd
+
+
+def band_ldl_factor(K, bwb: int, block: int = 128,
+                    use_pallas: str = "auto",
+                    gemm_dtype=None) -> BandFactors:
     """Factor symmetric block-banded K (D, D), D a multiple of ``block``;
     blocks further than ``bwb`` block rows below the diagonal are assumed
-    (and preserved) zero."""
+    (and preserved) zero.
+
+    ``gemm_dtype``: dtype for the off-diagonal/Schur block products.
+    float64 matmuls on TPU lower to chunked while-loop emulations whose
+    per-iteration overhead dwarfs the math at (128,128) sizes (measured:
+    ~300us per small f64 matmul); float32 products at "highest" precision
+    keep ~7e-7 relative accuracy, which float64 iterative refinement
+    against the exact operator absorbs.  None = K.dtype (exact parity
+    behavior)."""
     D = K.shape[-1]
     B = block
     assert D % B == 0, (D, B)
     nb = D // B
     dtype = K.dtype
+    gdt = dtype if gemm_dtype is None else gemm_dtype
     Kdiag, Kband = _band_views(K, bwb, B)
+
+    def mm(a, b):
+        return (a.astype(gdt) @ b.astype(gdt)).astype(dtype)
 
     def step(carry, xs):
         # carry rings: slot s holds block row k-1-s (newest first)
@@ -91,15 +129,15 @@ def band_ldl_factor(K, bwb: int, block: int = 128) -> BandFactors:
             # K[k,j] = sum_{i<=j} L[k,i] D_i L[j,i]^T; subtract i < j
             # (i = k - u, u in (t, bwb]); L[j,i] = Lring[t-1][u-t-1]
             for u in range(t + 1, bwb + 1):
-                Akj = Akj - ((row[u - 1] * dring[u - 1][None, :])
-                             @ Lring[t - 1, u - t - 1].T)
+                Akj = Akj - mm(row[u - 1] * dring[u - 1][None, :],
+                               Lring[t - 1, u - t - 1].T)
             # i = j term: L[k,j] = Akj Dinv_j^T / d_j
-            row[t - 1] = (Akj @ Dinvring[t - 1].T) / dring[t - 1][None, :]
+            row[t - 1] = mm(Akj, Dinvring[t - 1].T) / dring[t - 1][None, :]
         # diagonal Schur update + leaf factorization
         for t in range(1, bwb + 1):
-            Kkk = Kkk - (row[t - 1] * dring[t - 1][None, :]) @ row[t - 1].T
-        Ld, dd = _unblocked_ldl(Kkk)
-        Dinvk = _unit_lower_inv(Ld)
+            Kkk = Kkk - mm(row[t - 1] * dring[t - 1][None, :],
+                           row[t - 1].T)
+        Dinvk, dd = _band_leaf(Kkk, use_pallas)
         rowk = jnp.stack(row)                # (bwb, B, B), index s = t-1
         new_carry = (
             jnp.concatenate([rowk[None], Lring[:-1]]),
@@ -115,11 +153,25 @@ def band_ldl_factor(K, bwb: int, block: int = 128) -> BandFactors:
         jnp.ones((bwb, B), dtype),                   # d = 1 outside
     )
     with jax.default_matmul_precision("highest"):
-        _, (Lband, Dinv, dvals) = lax.scan(step, carry0, (Kdiag, Kband))
+        _, (Lband, Dinv, dvals) = lax.scan(step, carry0, (Kdiag, Kband),
+                                           unroll=_unroll(nb, bwb))
     return BandFactors(Lband=Lband, d=dvals.reshape(-1), Dinv=Dinv)
 
 
-def band_ldl_solve(fac: BandFactors, rhs, bwb: int, block: int = 128):
+def _unroll(nb: int, bwb: int) -> int:
+    """Scan unroll factor.  Each scan *iteration* costs ~65us of TPU
+    runtime overhead (measured on v5e through the axon runtime) — for
+    MPC-class problems (nb ~ 16, bwb = 1) that overhead dominates the
+    entire factorization, so small bands unroll fully into straight-line
+    code.  Large problems keep a bounded program: the O(bwb^2) body is
+    replicated at most ``64 // bwb`` times."""
+    if nb * bwb <= 64:
+        return nb
+    return max(1, min(8, 64 // max(1, bwb)))
+
+
+def band_ldl_solve(fac: BandFactors, rhs, bwb: int, block: int = 128,
+                   gemm_dtype=None):
     """Solve K x = rhs for (D,) or (D, k) right-hand sides."""
     B = block
     Lband, d, Dinv = fac.Lband, fac.d, fac.Dinv
@@ -128,7 +180,11 @@ def band_ldl_solve(fac: BandFactors, rhs, bwb: int, block: int = 128):
     x = rhs[:, None] if single else rhs
     k_rhs = x.shape[1]
     dtype = x.dtype
+    gdt = dtype if gemm_dtype is None else gemm_dtype
     xb = x.reshape(nb, B, k_rhs)
+
+    def mm(a, b):
+        return (a.astype(gdt) @ b.astype(gdt)).astype(dtype)
 
     with jax.default_matmul_precision("highest"):
         # forward: (L+I) y = rhs, block rows top down; carry = last bwb y
@@ -136,12 +192,13 @@ def band_ldl_solve(fac: BandFactors, rhs, bwb: int, block: int = 128):
             Lk, Dinvk, xk = xs
             acc = xk
             for t in range(1, bwb + 1):      # y_{k-t} = yring[t-1]
-                acc = acc - Lk[t - 1] @ yring[t - 1]
-            yk = Dinvk @ acc
+                acc = acc - mm(Lk[t - 1], yring[t - 1])
+            yk = mm(Dinvk, acc)
             return jnp.concatenate([yk[None], yring[:-1]]), yk
 
         yring0 = jnp.zeros((bwb, B, k_rhs), dtype)
-        _, y = lax.scan(fwd, yring0, (Lband, Dinv, xb))
+        _, y = lax.scan(fwd, yring0, (Lband, Dinv, xb),
+                        unroll=_unroll(nb, bwb))
         y = y.reshape(-1, k_rhs) / d[:, None]
 
         # backward: (L+I)^T z = y, block rows bottom up; carry = ring of
@@ -154,13 +211,14 @@ def band_ldl_solve(fac: BandFactors, rhs, bwb: int, block: int = 128):
             Lk, Dinvk, yk = xs
             acc = yk
             for t in range(1, bwb + 1):      # z_{k+t}, L[k+t]
-                acc = acc - Lring[t - 1, t - 1].T @ zring[t - 1]
-            zk = Dinvk.T @ acc
+                acc = acc - mm(Lring[t - 1, t - 1].T, zring[t - 1])
+            zk = mm(Dinvk.T, acc)
             return ((jnp.concatenate([zk[None], zring[:-1]]),
                      jnp.concatenate([Lk[None], Lring[:-1]])), zk)
 
         carry0 = (jnp.zeros((bwb, B, k_rhs), dtype),
                   jnp.zeros((bwb, bwb, B, B), dtype))
-        _, z = lax.scan(bwd, carry0, (Lband, Dinv, yb), reverse=True)
+        _, z = lax.scan(bwd, carry0, (Lband, Dinv, yb), reverse=True,
+                        unroll=_unroll(nb, bwb))
         z = z.reshape(-1, k_rhs)
     return z[:, 0] if single else z

@@ -1,18 +1,15 @@
-"""EXPERIMENTAL building block — not wired into the solver hot path.
+"""Float64-accurate matmul on the TPU MXU via Ozaki mantissa slicing.
 
-Float64-accurate matmul on the TPU MXU via mantissa slicing.
+TPU v5e has no native float64 ALU.  XLA's own f64 dot emulation lowers
+to a CHUNKED WHILE LOOP whose per-iteration runtime overhead (~65us,
+measured) dwarfs the math for the skinny residual/elimination matvecs of
+iterative refinement — profiled as the dominant per-iteration cost of
+the whole IPM once the factorization moved into Pallas kernels.  This
+module replaces those f64 dots with straight-line bf16 MXU passes:
 
-TPU v5e has no native float64 ALU; f64 matmuls are emulated.  This module implements the Ozaki
-splitting scheme: each f64 operand is decomposed into S narrow-mantissa
-slices, all pairwise slice products run as *exact* bf16->f32 MXU matmuls,
-and the scaled partial results are summed in f64.
-
-Measured on v5e: ~14 TFLOP/s at (32,2,2988)x(2988,1494), ~1e-16 relative
-error.  XLA's own f64 dot emulation reaches ~19 TFLOP/s on the same
-shapes, so this kernel is NOT wired into the solver hot path today; it is
-kept (tested) as the building block for future ops where XLA emulation is
-weak (elementwise-heavy fused kernels, Pallas factorizations needing f64
-accumulation).
+each f64 operand is decomposed into S narrow-mantissa slices, all
+pairwise slice products run as *exact* bf16->f32 MXU matmuls, and the
+scaled partials sum in f64.
 
 Exactness argument (per product pass): with slice width w bits and
 contraction length k, every term of slice-product s,t is an integer
@@ -23,17 +20,14 @@ accumulator (24-bit significand) is exact as long as
 
 With w = 6 and k <= 4096 this holds.  S = ceil(53 / w) = 9 slices cover
 the full f64 mantissa; dropping cross terms with s + t >= S leaves a
-relative error ~2^-54 per operand pair — i.e. genuinely float64-quality
-results from (S^2+S)/2 = 45 bf16 matmul passes.  45 MXU passes beat one
-VPU-emulated f64 matmul by >100x at these sizes.
+relative error ~2^-54 per operand pair — genuinely float64-quality.
 
-Status (round 2): measured on the refinement/residual matmuls too —
-those are skinny (k <= 3 columns), where the slicing overhead dominates
-and XLA's emulation wins outright, so this module has NO consumer in the
-package.  It stays as a tested experimental kernel for future Pallas
-factorizations needing f64 accumulation inside a kernel (where XLA's
-emulation is unavailable).  The reference needs none of this: host CPUs
-have native f64 (Eigen, /root/reference/include/eicos.hpp:3).
+The hot-path consumer (kkt.solve_refined / solve_exact) uses the
+PRE-SLICED form: the big constant operand (G, A and their transposes)
+is sliced ONCE per solve — the slices are while-loop invariants that
+XLA hoists — and each residual matvec becomes 45 small bf16 dots with
+no while loop at all.  The in-kernel double-single analogue (8-bit
+chunks, f32 pairs) lives in ops/pallas_band_ds.ds_matmul.
 """
 
 from __future__ import annotations
@@ -110,3 +104,48 @@ def f64_matmul(a, b, use_mxu: bool):
     if use_mxu and a.dtype == jnp.float64:
         return matmul_f64_mxu(a, b)
     return a @ b
+
+
+class SlicedOperand:
+    """A constant right-hand matmul operand, pre-sliced for repeated
+    float64-quality products ``a @ b`` (contraction over b's first axis).
+
+    Built once per solve from loop-invariant data; each use costs only
+    the slicing of the small dynamic operand plus 45 bf16 MXU dots.
+    """
+
+    def __init__(self, b):
+        assert b.ndim == 2, b.shape
+        self.k, self.n = b.shape
+        # exactness needs contraction <= _K_MAX per pass: partition the
+        # contraction axis into groups and sum the group products in f64
+        self.bounds = [(s, min(s + _K_MAX, self.k))
+                       for s in range(0, max(self.k, 1), _K_MAX)]
+        self.groups = []
+        for lo, hi in self.bounds:
+            sl, scale = _slices(b[lo:hi], axis=-2)
+            self.groups.append(
+                ([x.astype(jnp.bfloat16) for x in sl], scale))
+
+    def rmatmul(self, a):
+        """a @ b for a: (..., m, k) float64."""
+        out = None
+        for (lo, hi), (b16, b_scale) in zip(self.bounds, self.groups):
+            ag = a[..., lo:hi]
+            a_sl, a_scale = _slices(ag, axis=-1)
+            a16 = [x.astype(jnp.bfloat16) for x in a_sl]
+            grp = None
+            for s in range(S):
+                for t in range(S - s):
+                    p = jax.lax.dot_general(
+                        a16[s], b16[t],
+                        dimension_numbers=(((a.ndim - 1,), (0,)),
+                                           ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    term = p.astype(jnp.float64) * (2.0 ** (-W * (s + t)))
+                    grp = term if grp is None else grp + term
+            # b_scale is (1, n); flatten so 1-D matvecs stay 1-D
+            grp = grp * a_scale * b_scale.reshape(-1)
+            out = grp if out is None else out + grp
+        return out

@@ -110,6 +110,14 @@ def _leaf(K, use_pallas: bool):
 
         Linv, d = leaf_ldl_pallas(K[None])
         return Linv[0], d[0]
+    if use_pallas and K.shape[-1] == 128 and K.dtype == jnp.float64:
+        # double-single kernel: ~2^-48 factor AND unit-lower inverse in
+        # ONE launch (the inverse accumulates in-loop via the product
+        # form — no float64-emulated Newton-Schulz matmuls outside)
+        from .pallas_leaf_ds import leaf_ldl_pallas_ds
+
+        _, d, Linv = leaf_ldl_pallas_ds(K[None])
+        return Linv[0], d[0]
     L, d = _unblocked_ldl(K)
     return _unit_lower_inv(L), d
 
@@ -153,7 +161,7 @@ def ldl_factor(K, block: int = 128, use_pallas: str = "off") -> LDLFactors:
     assert D % block == 0, (D, block)
     from .pallas_leaf import pallas_available
 
-    ok = pallas_available() and K.dtype == jnp.float32
+    ok = pallas_available() and K.dtype in (jnp.float32, jnp.float64)
     pallas = ok and use_pallas in ("on", "auto")
     with jax.default_matmul_precision("highest"):
         Linv, d = _ldl_rec(K, block, pallas)

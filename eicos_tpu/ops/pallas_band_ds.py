@@ -1,0 +1,374 @@
+"""Pallas TPU kernels: double-single block-banded LDL^T factor + solves.
+
+The banded strategy (ops/band_ldl.py) is the sparse-direct path for
+MPC-class problems (block bandwidth 1 after RCM: the KKT staircase).
+Run as XLA ops its float64 block products each lower to a chunked
+while-loop whose per-iteration runtime overhead (~65us on v5e, measured)
+exceeds the math by orders of magnitude at (128,128) sizes; plain f32
+products (~7e-7) break the interior-point endgame (measured: 3/16 lanes
+converge).  These kernels run the ENTIRE factorization (and each
+triangular solve) in one Pallas launch per lane at ~2^-48 effective
+precision:
+
+* numbers are carried as double-single (hi, lo) float32 pairs;
+* block products use an exact-product split scheme: each f32 splits
+  into three bf16 chunks (8 mantissa bits each, exact); chunk-pair
+  products have <= 16 mantissa bits, so a 128-term f32 accumulation on
+  the MXU is EXACT (16 + log2(128) = 23 < 24); partials merge by
+  magnitude level with error-free TwoSum — a double-single GEMM built
+  from full-rate bf16 MXU passes (21 per product, i+j <= 5);
+* the diagonal leaf elimination is the double-single rank-1 loop of
+  ops/pallas_leaf_ds.py, inlined, with the unit-lower inverse
+  accumulated in-loop via the product form.
+
+Specialized to block bandwidth bwb == 1 (the MPC/staircase case — RCM
+gives bwb=1 on the whole bench family); wider bands fall back to the
+XLA scan in ops/band_ldl.py.
+
+Role: this is the performance-critical half of the Eigen-SimplicialLDLT
+replacement (/root/reference/include/eicos.hpp:221-222) — AMD-ordered
+sparse LDL^T becomes RCM-ordered block-banded LDL^T fused into TPU
+kernels, with float64 iterative refinement (kkt.solve_refined)
+recovering exact-operator accuracy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:  # pragma: no cover
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from .pallas_leaf_ds import (B, _fori32, _two_sum, _quick_renorm, ds_add,
+                             ds_mul, ds_div)
+
+
+# ---------------- double-single GEMM from exact bf16 partials ----------
+# Ozaki-style mantissa slicing (cf. ops/f64mm.py, which does
+# the same from float64 in XLA): operands scale per output-row/column to
+# [0, 1) by an exact power of two, then split into 8-bit GRID-ALIGNED
+# chunks (integer multiples of 2^-8(k+1), magnitude <= 2^8 — exactly
+# bf16).  Chunk-pair products are integers <= 2^16 on a fixed grid, so a
+# 128-term f32 MXU accumulation is EXACT (16 + 7 = 23 < 24 bits).  The
+# 21 partials (levels s+t <= 5) fold into a double-single accumulator
+# with error-free TwoSum — ~2^-48 worst-case relative error overall.
+
+_NCHUNK = 6          # 6 x 8 bits = 48 mantissa bits
+_NLEVEL = 7          # keep s + t <= 6 (the dropped tail costs ~2^-56;
+#                      one extra level bought the interior-point endgame
+#                      margin on outlier lanes — measured)
+
+
+def _pow2_above(m):
+    """Exact power of two > m (f32, elementwise, bit tricks)."""
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    e = jax.lax.shift_right_logical(bits, 23) & 255
+    s = jax.lax.shift_left(jnp.minimum(e + 1, 254), 23)
+    s = jax.lax.bitcast_convert_type(s, jnp.float32)
+    return jnp.where(m > 0.0, s, 1.0)
+
+
+def _chunks_scaled(xh, xl, axis):
+    """(hi, lo) f32 -> (chunks[6] bf16, scale) along reduction ``axis``.
+
+    scale is per output-row/col (max over the contraction axis);
+    chunks[k] holds bits [8k, 8(k+1)) of x/scale on a fixed grid.
+    """
+    m = jnp.max(jnp.abs(xh), axis=axis, keepdims=True)
+    s = _pow2_above(m)
+    r = xh / s                      # exact, |r| < 1
+    rl = xl / s
+    chunks = []
+    for k in range(_NCHUNK):
+        if k == 3:
+            r = r + rl              # fold in the low part (|r| ~ 2^-24)
+        up = jnp.float32(2.0 ** (8 * (k + 1)))
+        c = jnp.round(r * up) / up  # snap to grid 2^-8(k+1) (exact ops)
+        r = r - c                   # exact
+        chunks.append(c.astype(jnp.bfloat16))
+    return chunks, s
+
+
+def ds_matmul(ah, al, bh, bl, transpose_b: bool = False):
+    """Double-single product of (hi, lo) f32 matrices on the MXU.
+
+    a: (M, K); b: (K, N), or (N, K) with ``transpose_b``.  Contraction
+    length must be <= 256 for the exactness argument.  Returns (hi, lo).
+    """
+    a, sa = _chunks_scaled(ah, al, axis=1)            # sa: (M, 1)
+    if transpose_b:
+        b, sb = _chunks_scaled(bh, bl, axis=1)        # sb: (N, 1)
+        dn = (((1,), (1,)), ((), ()))
+        sb_out = sb.T
+    else:
+        b, sb = _chunks_scaled(bh, bl, axis=0)        # sb: (1, N)
+        dn = (((1,), (0,)), ((), ()))
+        sb_out = sb
+
+    sh = None
+    sl = None
+    for lvl in range(_NLEVEL):
+        for s in range(min(_NCHUNK, lvl + 1)):
+            t = lvl - s
+            if t >= _NCHUNK:
+                continue
+            # explicit DEFAULT precision: an ambient
+            # default_matmul_precision("highest") context (kkt.py wraps
+            # its solves in one) would otherwise ask Mosaic for a
+            # multi-pass bf16x6 algorithm on ALREADY-bf16 operands,
+            # which it rejects ("Bad lhs type"); the chunk products are
+            # exact in one pass by construction
+            p = jax.lax.dot_general(a[s], b[t], dn,
+                                    precision=jax.lax.Precision.DEFAULT,
+                                    preferred_element_type=jnp.float32)
+            if sh is None:
+                sh, sl = p, jnp.zeros_like(p)
+            else:
+                sh, e = _two_sum(sh, p)
+                sl = sl + e
+    sh, sl = _quick_renorm(sh, sl)
+    scale = sa * sb_out
+    return sh * scale, sl * scale
+
+
+# --------------------------- leaf elimination (inlined, from leaf_ds) --
+def _leaf_eliminate(Mh, Ml):
+    """(B, B) double-single symmetric block -> (Lstrict, d, Linv), all
+    double-single.  Same loop as pallas_leaf_ds._leaf_kernel_ds."""
+    row = lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    col = lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rowv = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    colv = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    eye = (row == col).astype(jnp.float32)
+
+    def body(j, carry):
+        Mh, Ml, Lh, Ll, dh, dl, Xh, Xl = carry
+        cmask = col == j
+        # column j and pivot via masked reductions (exact: one term/row;
+        # pivot extracted from the (B, 1) column, not the full matrix)
+        cjh = jnp.sum(jnp.where(cmask, Mh, 0.0), axis=1, keepdims=True)
+        cjl = jnp.sum(jnp.where(cmask, Ml, 0.0), axis=1, keepdims=True)
+        djh = jnp.sum(jnp.where(rowv == j, cjh, 0.0))
+        djl = jnp.sum(jnp.where(rowv == j, cjl, 0.0))
+        tiny = jnp.float32(1e-30)
+        djh = jnp.where(jnp.abs(djh) < tiny,
+                        jnp.where(djh < 0, -tiny, tiny), djh)
+        lh, ll = ds_div(cjh, cjl, jnp.broadcast_to(djh, (B, 1)),
+                        jnp.broadcast_to(djl, (B, 1)))
+        below = rowv > j
+        lh = jnp.where(below, lh, 0.0)
+        ll = jnp.where(below, ll, 0.0)
+        oph, opl = ds_mul(lh, ll, lh.reshape(1, B), ll.reshape(1, B))
+        uph, upl = ds_mul(oph, opl, jnp.broadcast_to(djh, (B, B)),
+                          jnp.broadcast_to(djl, (B, B)))
+        Mh, Ml = ds_add(Mh, Ml, -uph, -upl)
+        Lh = jnp.where(cmask, lh, Lh)
+        Ll = jnp.where(cmask, ll, Ll)
+        dh = jnp.where(colv == j, djh, dh)
+        dl = jnp.where(colv == j, djl, dl)
+        rjh = jnp.sum(jnp.where(row == j, Xh, 0.0), axis=0, keepdims=True)
+        rjl = jnp.sum(jnp.where(row == j, Xl, 0.0), axis=0, keepdims=True)
+        sh, sl = ds_mul(lh, ll, rjh, rjl)
+        Xh, Xl = ds_add(Xh, Xl, -sh, -sl)
+        return Mh, Ml, Lh, Ll, dh, dl, Xh, Xl
+
+    z_bb = jnp.zeros((B, B), jnp.float32)
+    z_1b = jnp.zeros((1, B), jnp.float32)
+    _, _, Lh, Ll, dh, dl, Xh, Xl = _fori32(
+        B, body, (Mh, Ml, z_bb, z_bb, z_1b, z_1b, eye, z_bb))
+    return (Lh, Ll), (dh, dl), (Xh, Xl)
+
+
+# ------------------------------------------------- factor kernel (bwb=1)
+# One Pallas program per LANE: the whole band lives in VMEM and the block
+# rows run in an in-kernel loop (16 sequential grid programs per factor
+# were measured slower than the XLA scan — per-program launch overhead —
+# so the loop moved inside).
+
+def _rowrd(ref, k):
+    """Read block row k of a (..., nb, B, B) VMEM ref -> (B, B)."""
+    lead = ref.ndim - 3
+    idx = (0,) * lead + (pl.ds(k, 1), slice(None), slice(None))
+    return ref[idx].reshape(ref.shape[-2], ref.shape[-1])
+
+
+def _rowwr(ref, k, val):
+    lead = ref.ndim - 3
+    idx = (0,) * lead + (pl.ds(k, 1), slice(None), slice(None))
+    ref[idx] = val.reshape((1,) + val.shape)
+
+
+def _band_factor_kernel(kdh_ref, kdl_ref, ksh_ref, ksl_ref,
+                        lbh_ref, lbl_ref, dih_ref, dil_ref,
+                        dh_ref, dl_ref):
+    nb = kdh_ref.shape[-3]
+
+    def row(k, carry):
+        Xph, Xpl, dph, dpl = carry          # Dinv_{k-1}, d_{k-1}
+        Kdh, Kdl = _rowrd(kdh_ref, k), _rowrd(kdl_ref, k)
+        Ksh, Ksl = _rowrd(ksh_ref, k), _rowrd(ksl_ref, k)
+        # L[k, k-1] = Ksub_k Dinv_{k-1}^T / d_{k-1} (Dinv = 0 at k = 0)
+        ph, plo = ds_matmul(Ksh, Ksl, Xph, Xpl, transpose_b=True)
+        Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (B, B)),
+                        jnp.broadcast_to(dpl, (B, B)))
+        # Schur: Kkk -= (L * d) L^T
+        sh, sl = ds_mul(Lh, Ll, jnp.broadcast_to(dph, (B, B)),
+                        jnp.broadcast_to(dpl, (B, B)))
+        uh, ul = ds_matmul(sh, sl, Lh, Ll, transpose_b=True)
+        Mh, Ml = ds_add(Kdh, Kdl, -uh, -ul)
+        (_, _), (dh, dl), (Xh, Xl) = _leaf_eliminate(Mh, Ml)
+        _rowwr(lbh_ref, k, Lh)
+        _rowwr(lbl_ref, k, Ll)
+        _rowwr(dih_ref, k, Xh)
+        _rowwr(dil_ref, k, Xl)
+        _rowwr(dh_ref, k, jnp.broadcast_to(dh, (8, B)))
+        _rowwr(dl_ref, k, jnp.broadcast_to(dl, (8, B)))
+        return Xh, Xl, dh, dl
+
+    zero = jnp.zeros((B, B), jnp.float32)
+    _fori32(nb, row, (zero, zero, jnp.ones((1, B), jnp.float32),
+                      jnp.zeros((1, B), jnp.float32)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_factor_ds(Kdiag, Ksub, interpret: bool = False):
+    """Double-single banded factor, bwb = 1, one kernel launch.
+
+    ``Kdiag``: (nb, B, B) float64 diagonal blocks; ``Ksub``: (nb, B, B)
+    float64 subdiagonal blocks (row k holds K[k, k-1]; row 0 ignored,
+    pass zeros).  Returns float32 pairs
+    ``(Lh, Ll, Dinvh, Dinvl, dh, dl)`` with shapes (nb, B, B) x4 and
+    (nb, 8, B) x2 (d's row 0 is live).
+    """
+    nb = Kdiag.shape[0]
+    assert Kdiag.shape == (nb, B, B) and Ksub.shape == (nb, B, B)
+    assert Kdiag.dtype == jnp.float64
+
+    def split(x):
+        hi = x.astype(jnp.float32)
+        return hi, (x - hi.astype(jnp.float64)).astype(jnp.float32)
+
+    kdh, kdl = split(Kdiag)
+    ksh, ksl = split(Ksub)
+    whole_bb = pl.BlockSpec(memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _band_factor_kernel,
+            in_specs=[whole_bb] * 4,
+            out_specs=(whole_bb,) * 6,
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
+            ),
+            interpret=interpret,
+        )(kdh, kdl, ksh, ksl)
+
+
+# ------------------------------------------------- solve kernel (bwb=1)
+# RHS layout: (nb, KP, B) — x^T in block-row-major, KP padded rhs rows.
+KP = 16  # padded RHS-column tile (bf16 sublane tile is 16)
+
+
+def _band_solve_kernel(lbh_ref, lbl_ref, dih_ref, dil_ref,
+                       dh_ref, dl_ref, xh_ref, xl_ref,
+                       zh_ref, zl_ref, w_h, w_l):
+    """Whole solve (forward, pivots, backward) in one program.
+
+    Scratch w holds the pivot-scaled forward solution."""
+    nb = lbh_ref.shape[-3]
+
+    def _rowx(ref, k):
+        lead = ref.ndim - 3
+        idx = (0,) * lead + (pl.ds(k, 1), slice(None), slice(None))
+        return ref[idx].reshape(ref.shape[-2], ref.shape[-1])
+
+    def fwd(k, carry):
+        yph, ypl = carry
+        Lh, Ll = _rowrd(lbh_ref, k), _rowrd(lbl_ref, k)
+        Dih, Dil = _rowrd(dih_ref, k), _rowrd(dil_ref, k)
+        th, tl = ds_matmul(yph, ypl, Lh, Ll, transpose_b=True)
+        ah, al = ds_add(_rowx(xh_ref, k), _rowx(xl_ref, k), -th, -tl)
+        yh, yl = ds_matmul(ah, al, Dih, Dil, transpose_b=True)
+        # w = y / d (pivots; row 0 of the (8, B) d tile is live)
+        dh = _rowx(dh_ref, k)[0:1]
+        dl = _rowx(dl_ref, k)[0:1]
+        wh, wl = ds_div(yh, yl, jnp.broadcast_to(dh, (KP, B)),
+                        jnp.broadcast_to(dl, (KP, B)))
+        w_h[pl.ds(k, 1)] = wh.reshape(1, KP, B)
+        w_l[pl.ds(k, 1)] = wl.reshape(1, KP, B)
+        return yh, yl
+
+    zero_x = jnp.zeros((KP, B), jnp.float32)
+    _fori32(nb, fwd, (zero_x, zero_x))
+
+    def bwd(i, carry):
+        zph, zpl, Lnh, Lnl = carry          # z_{k+1}, L_{k+1}
+        k = nb - 1 - i
+        Dih, Dil = _rowrd(dih_ref, k), _rowrd(dil_ref, k)
+        th, tl = ds_matmul(zph, zpl, Lnh, Lnl)
+        wh = w_h[pl.ds(k, 1)].reshape(KP, B)
+        wl = w_l[pl.ds(k, 1)].reshape(KP, B)
+        ah, al = ds_add(wh, wl, -th, -tl)
+        zh, zl = ds_matmul(ah, al, Dih, Dil)
+        _rowwr(zh_ref, k, zh)
+        _rowwr(zl_ref, k, zl)
+        return zh, zl, _rowrd(lbh_ref, k), _rowrd(lbl_ref, k)
+
+    zero_bb = jnp.zeros((B, B), jnp.float32)
+    _fori32(nb, bwd, (zero_x, zero_x, zero_bb, zero_bb))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_solve_ds(fac, rhs_t, interpret: bool = False):
+    """Solve K x = rhs with the double-single banded factor (bwb = 1).
+
+    ``fac``: output tuple of band_factor_ds.  ``rhs_t``: (KP, D) float64
+    (transposed right-hand sides, unused rows zero).  Returns (KP, D)
+    float64.  One kernel launch for the whole triangular solve chain.
+    """
+    Lh, Ll, Dih, Dil, dh, dl = fac
+    nb = Lh.shape[0]
+    D = nb * B
+    assert rhs_t.shape == (KP, D), rhs_t.shape
+
+    xh = rhs_t.astype(jnp.float32)
+    xl = (rhs_t - xh.astype(jnp.float64)).astype(jnp.float32)
+
+    def tob(v):
+        return v.reshape(KP, nb, B).transpose(1, 0, 2)
+
+    xh, xl = tob(xh), tob(xl)
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        zh, zl = pl.pallas_call(
+            _band_solve_kernel,
+            in_specs=[whole] * 8,
+            out_specs=(whole, whole),
+            out_shape=(jax.ShapeDtypeStruct((nb, KP, B), jnp.float32),) * 2,
+            scratch_shapes=[pltpu.VMEM((nb, KP, B), jnp.float32)] * 2,
+            interpret=interpret,
+        )(Lh, Ll, Dih, Dil, dh, dl, xh, xl)
+    z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
+    return z.transpose(1, 0, 2).reshape(KP, D)
+
+
+def band_ds_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

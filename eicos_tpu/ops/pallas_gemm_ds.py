@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: double-single (small @ BIG-constant) matmul.
+
+The refinement residuals and the LP-row elimination of kkt.py are skinny
+float64 products ``a @ B`` with a (<= KP)-row dynamic ``a`` against big
+loop-invariant operands (G, A, transposes, stacks thereof).  XLA's f64
+dot emulation runs them as chunked while-loops (latency-bound); the
+XLA-level Ozaki preslicing (ops/f64mm.SlicedOperand) fixes the latency
+but re-reads the big operand once per slice pair — a 45x HBM
+amplification that is even slower at these sizes (measured).
+
+This kernel gets both right: the big operand is stored ONCE as an
+(hi, lo) float32 pair, each grid program owns one 128-wide output panel
+and loops the contraction in VMEM, where the exact-product chunk scheme
+of ops/pallas_band_ds.ds_matmul (8-bit grid-aligned bf16 chunks, exact
+f32 MXU accumulation, TwoSum merges) runs without touching HBM again.
+Cost per product: one read of the operand pair — the same traffic as a
+native f64 matvec on a machine that had native f64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pragma: no cover
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from .pallas_band_ds import ds_matmul, B
+from .pallas_leaf_ds import _fori32, ds_add
+
+KP = 16  # rows of the small operand (bf16 sublane tile)
+
+
+def _gemv_kernel(R, ah_ref, al_ref, bh_ref, bl_ref, oh_ref, ol_ref):
+    """One 128-wide output panel; contraction looped in VMEM."""
+    Kp = ah_ref.shape[-1]
+    nk = Kp // B
+
+    def step(k, acc):
+        ach, acl = acc
+        asl = (slice(None),) * (ah_ref.ndim - 1) + (pl.ds(k * B, B),)
+        Ah = ah_ref[asl].reshape(R, B)
+        Al = al_ref[asl].reshape(R, B)
+        bsl = (slice(None),) * (bh_ref.ndim - 2) + (pl.ds(k * B, B),
+                                                    slice(None))
+        Bh = bh_ref[bsl].reshape(B, bh_ref.shape[-1])
+        Bl = bl_ref[bsl].reshape(B, bl_ref.shape[-1])
+        ph, plo = ds_matmul(Ah, Al, Bh, Bl)
+        return ds_add(ach, acl, ph, plo)
+
+    zero = jnp.zeros((R, bh_ref.shape[-1]), jnp.float32)
+    oh, ol = _fori32(nk, step, (zero, zero))
+    oh_ref[...] = oh.reshape(oh_ref.shape)
+    ol_ref[...] = ol.reshape(ol_ref.shape)
+
+
+class BigOperand:
+    """A big constant matmul operand held as an (hi, lo) float32 pair,
+    zero-padded to 128-multiples.  Built once per solve (loop-invariant;
+    XLA hoists it out of the IPM while-loop).
+
+    ``rmatmul`` carries a custom_vmap rule: under the solver's lane vmap
+    the batch axis COLLAPSES INTO KERNEL ROWS instead of replaying the
+    kernel per lane — the operand is streamed from HBM once per product
+    for the whole batch (a plain vmap re-read it per lane: measured 16x
+    HBM amplification dominating the IPM iteration)."""
+
+    def __init__(self, bmat):
+        assert bmat.ndim == 2, bmat.shape
+        self.k, self.n = bmat.shape
+        kp = -(-max(self.k, 1) // B) * B
+        npad = -(-max(self.n, 1) // B) * B
+        bm = jnp.zeros((kp, npad), bmat.dtype).at[:self.k, :self.n].set(bmat)
+        self.hi = bm.astype(jnp.float32)
+        self.lo = (bm - self.hi.astype(jnp.float64)).astype(jnp.float32)
+
+        self._rows = _rows_fn(self.k, self.n)
+
+    def rmatmul(self, a):
+        """a @ b for float64 ``a`` of shape (r, k) or (k,)."""
+        single = a.ndim == 1
+        out = self._rows(a[None] if single else a, self.hi, self.lo)
+        return out[0] if single else out
+
+
+def _matmul_rows(a2, hi, lo, k, n):
+    """(r, k) float64 rows @ padded (hi, lo) operand -> (r, n)."""
+    r = a2.shape[0]
+    R = -(-max(r, 1) // KP) * KP
+    kp, npad = hi.shape
+    ap = jnp.zeros((R, kp), a2.dtype).at[:r, :k].set(a2)
+    ah = ap.astype(jnp.float32)
+    al = (ap - ah.astype(jnp.float64)).astype(jnp.float32)
+    oh, ol = _gemv_call(R, kp, npad)(ah, al, hi, lo)
+    out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+    return out[:r, :n]
+
+
+@functools.lru_cache(maxsize=256)
+def _rows_fn(k: int, n: int):
+    """custom_vmap'd (rows, operand-pair) product for true dims (k, n):
+    closed-over tracers are not allowed in custom_vmap, so the operand
+    pair travels as explicit (unbatched) arguments."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def _rows(a2, hi, lo):
+        return _matmul_rows(a2, hi, lo, k, n)
+
+    @_rows.def_vmap
+    def _rows_vmap(axis_size, in_batched, a3, hi, lo):
+        a_b, hi_b, lo_b = in_batched
+        if hi_b or lo_b or not a_b:
+            # per-lane operand: no row-collapse possible; replay per lane
+            out = jax.vmap(
+                lambda aa, h, l2: _matmul_rows(aa, h, l2, k, n),
+                in_axes=(0 if a_b else None, 0 if hi_b else None,
+                         0 if lo_b else None))(a3, hi, lo)
+            return out, True
+        L, r, _ = a3.shape
+        out = _matmul_rows(a3.reshape(L * r, a3.shape[-1]), hi, lo, k, n)
+        return out.reshape(L, r, out.shape[-1]), True
+
+    return _rows
+
+
+@functools.lru_cache(maxsize=256)
+def _gemv_call(R: int, kp: int, npad: int):
+    nn = npad // B
+    spec_a = pl.BlockSpec((R, kp), lambda j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((kp, B), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((R, B), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    kern = functools.partial(_gemv_kernel, R)
+
+    def call(ah, al, bh, bl):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kern,
+                grid=(nn,),
+                in_specs=[spec_a, spec_a, spec_b, spec_b],
+                out_specs=(spec_o, spec_o),
+                out_shape=(jax.ShapeDtypeStruct((R, npad), jnp.float32),
+                           jax.ShapeDtypeStruct((R, npad), jnp.float32)),
+            )(ah, al, bh, bl)
+
+    return jax.jit(call)
+
+
+def gemv_ds_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -1,0 +1,242 @@
+"""Pallas TPU kernel: double-single (two-float) LDL^T of 128x128 leaves.
+
+Why this exists: the recursive blocked factorization (ops/ldl.py) bottoms
+out in 128-step sequential rank-1 eliminations.  At float64 those run as
+plain XLA ops — ~2048 microscopic latency-bound dispatches per
+factorization (measured: they dominate the whole IPM iteration, see
+CLAUDE.md perf notes).  TPU Pallas has no float64, so the float32 leaf
+kernel (ops/pallas_leaf.py) cannot serve the float64 path: eps32 * cond
+at the interior-point endgame (mu -> 1e-8, cone scalings ~ 1/mu) kills
+iterative refinement (measured: NaN at mu ~ 1e-4 on the MPC bench
+family).
+
+This kernel runs the SAME elimination loop in VMEM using double-single
+arithmetic — every number carried as an (hi, lo) pair of float32 with
+Dekker/Knuth error-free transformations — giving ~2^-48 relative
+precision, a hair under float64's 2^-53 but far beyond the 2^-24 that
+fails.  Outside the kernel, the float64 path combines hi+lo exactly and
+(in ops/ldl.py) polishes the unit-lower inverse with one float64
+Newton-Schulz step, after which float64 iterative refinement against the
+exact KKT operator (kkt.solve_refined) behaves as if the factor were
+float64.  One kernel launch replaces ~128 x ~8 XLA ops per leaf.
+
+TwoProd uses Veltkamp splitting (split constant 2^12 + 1 for float32's
+24-bit mantissa) rather than FMA — Mosaic does not expose a fused
+multiply-add primitive.
+
+Reference role: this is the numeric core of the Eigen-SimplicialLDLT
+replacement (/root/reference/include/eicos.hpp:221-222) on the float64
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:  # pragma: no cover - import is safe everywhere
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+import sys
+
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
+
+B = 128
+_SPLIT = np.float32(4097.0)  # 2^12 + 1 (Veltkamp split for 24-bit mantissa)
+
+
+# ---- double-single primitives (element-wise, shape-polymorphic) ----
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _quick_renorm(h, l):
+    s = h + l
+    return s, l - (s - h)
+
+
+def ds_add(xh, xl, yh, yl):
+    # accurate add22 (Dekker): TwoSum on both components — the sloppy
+    # variant (se += xl + yl) loses bits exactly in the heavy-
+    # cancellation Schur updates where the factor needs them most
+    sh, se = _two_sum(xh, yh)
+    tl, te = _two_sum(xl, yl)
+    se = se + tl
+    sh, se = _quick_renorm(sh, se)
+    se = se + te
+    return _quick_renorm(sh, se)
+
+
+def ds_mul(xh, xl, yh, yl):
+    ph, pe = _two_prod(xh, yh)
+    pe = pe + (xh * yl + xl * yh)
+    return _quick_renorm(ph, pe)
+
+
+def ds_div(xh, xl, yh, yl):
+    q1 = xh / yh
+    # r = x - q1*y, computed in double-single
+    th, tl = ds_mul(q1, jnp.zeros_like(q1), yh, yl)
+    rh, rl = ds_add(xh, xl, -th, -tl)
+    q2 = (rh + rl) / yh
+    return _quick_renorm(q1, q2)
+
+
+# --------------------------------------------------------------- kernel
+def _fori32(n, body, init):
+    """32-bit-clean fori_loop (Mosaic cannot lower int64 counters)."""
+    def cond(c):
+        return c[0] < np.int32(n)
+
+    def wbody(c):
+        j, state = c
+        return j + np.int32(1), body(j, state)
+
+    return lax.while_loop(cond, wbody, (np.int32(0), init))[1]
+
+
+def _leaf_kernel_ds(mh_ref, ml_ref, lh_ref, ll_ref, dh_ref, dl_ref,
+                    xh_ref, xl_ref):
+    """(B, B) symmetric block in double-single -> strict-lower L (hi, lo),
+    pivots d (hi, lo), and the unit-lower inverse X = L^{-1} (hi, lo).
+
+    The inverse is accumulated inside the elimination loop via the
+    product form L^{-1} = (I - l_{n} e_n^T) ... (I - l_1 e_1^T): after
+    column j's multiplier l_j is known, X <- X - l_j * X[j, :] — one more
+    double-single rank-1 per step, replacing the float64-emulated
+    Newton-Schulz matmuls outside the kernel (measured at ~25% of the
+    whole IPM solve wall-clock)."""
+    Mh = mh_ref[0]
+    Ml = ml_ref[0]
+    row = lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    col = lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rowv = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    colv = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    eye = (row == col).astype(jnp.float32)
+
+    def body(j, carry):
+        Mh, Ml, Lh, Ll, dh, dl, Xh, Xl = carry
+        cmask = col == j
+        # column j and pivot via masked reductions (exact: one term/row;
+        # pivot extracted from the (B, 1) column, not the full matrix)
+        cjh = jnp.sum(jnp.where(cmask, Mh, 0.0), axis=1, keepdims=True)
+        cjl = jnp.sum(jnp.where(cmask, Ml, 0.0), axis=1, keepdims=True)
+        djh = jnp.sum(jnp.where(rowv == j, cjh, 0.0))
+        djl = jnp.sum(jnp.where(rowv == j, cjl, 0.0))
+        # guard exactly-zero pivots (quasidefinite blocks are nonzero in
+        # exact arithmetic; keep the clamp semantics of _unblocked_ldl)
+        tiny = jnp.float32(1e-30)
+        djh = jnp.where(jnp.abs(djh) < tiny,
+                        jnp.where(djh < 0, -tiny, tiny), djh)
+        lh, ll = ds_div(cjh, cjl, jnp.broadcast_to(djh, (B, 1)),
+                        jnp.broadcast_to(djl, (B, 1)))
+        below = rowv > j
+        lh = jnp.where(below, lh, 0.0)
+        ll = jnp.where(below, ll, 0.0)
+        # rank-1 update: M -= d * l l^T   (double-single throughout)
+        oph, opl = ds_mul(lh, ll, lh.reshape(1, B), ll.reshape(1, B))
+        uph, upl = ds_mul(oph, opl, jnp.broadcast_to(djh, (B, B)),
+                          jnp.broadcast_to(djl, (B, B)))
+        Mh, Ml = ds_add(Mh, Ml, -uph, -upl)
+        Lh = jnp.where(cmask, lh, Lh)
+        Ll = jnp.where(cmask, ll, Ll)
+        dh = jnp.where(colv == j, djh, dh)
+        dl = jnp.where(colv == j, djl, dl)
+        # X <- (I - l_j e_j^T) X : subtract l_j * (row j of X)
+        rjh = jnp.sum(jnp.where(row == j, Xh, 0.0), axis=0, keepdims=True)
+        rjl = jnp.sum(jnp.where(row == j, Xl, 0.0), axis=0, keepdims=True)
+        sh, sl = ds_mul(lh, ll, rjh, rjl)
+        Xh, Xl = ds_add(Xh, Xl, -sh, -sl)
+        return Mh, Ml, Lh, Ll, dh, dl, Xh, Xl
+
+    zeros_bb = jnp.zeros((B, B), jnp.float32)
+    zeros_1b = jnp.zeros((1, B), jnp.float32)
+    _, _, Lh, Ll, dh, dl, Xh, Xl = _fori32(
+        B, body, (Mh, Ml, zeros_bb, zeros_bb, zeros_1b, zeros_1b,
+                  eye, zeros_bb))
+
+    lh_ref[0] = Lh
+    ll_ref[0] = Ll
+    # d outputs are (1, 8, B) tiles (TPU min tile is 8x128); row 0 is live
+    dh_ref[0] = jnp.broadcast_to(dh, (8, B))
+    dl_ref[0] = jnp.broadcast_to(dl, (8, B))
+    xh_ref[0] = Xh
+    xl_ref[0] = Xl
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def leaf_ldl_pallas_ds(Ms, interpret: bool = False):
+    """Batched double-single leaf factorization.
+
+    ``Ms``: (nb, B, B) float64 symmetric blocks.  Returns
+    ``(L, d, Linv)`` — strict-lower L, pivots d, and the unit-lower
+    inverse L^{-1}, all float64 (combined hi+lo, ~2^-48 accurate).
+    """
+    nb = Ms.shape[0]
+    assert Ms.shape[1:] == (B, B) and Ms.dtype == jnp.float64, (
+        Ms.shape, Ms.dtype)
+    hi = Ms.astype(jnp.float32)
+    lo = (Ms - hi.astype(jnp.float64)).astype(jnp.float32)
+
+    with jax.enable_x64(False):
+        Lh, Ll, dh, dl, Xh, Xl = _pallas_call_ds(nb, interpret)(hi, lo)
+    L = Lh.astype(jnp.float64) + Ll.astype(jnp.float64)
+    d = dh[:, 0].astype(jnp.float64) + dl[:, 0].astype(jnp.float64)
+    Linv = Xh.astype(jnp.float64) + Xl.astype(jnp.float64)
+    return L, d, Linv
+
+
+def _pallas_call_ds(nb, interpret=False):
+    spec_bb = pl.BlockSpec((1, B, B), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_1b = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _leaf_kernel_ds,
+        grid=(nb,),
+        in_specs=[spec_bb, spec_bb],
+        out_specs=(spec_bb, spec_bb, spec_1b, spec_1b, spec_bb, spec_bb),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+            jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
+            jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+            jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+
+def pallas_ds_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -58,10 +58,18 @@ class Settings:
     # (the reference's verbose mode prints live, src/eicos.cpp:733-753);
     # off by default so the hot path stays sync-free
     verbose_live: bool = False
-    # fused Pallas kernel for the 128x128 factorization leaves ("on" |
-    # "off"); f32-on-TPU only.  Correct and available, but measured at
-    # parity or slightly behind the plain-XLA leaf on current hardware
-    # (large batches vectorize the XLA leaf across lanes; single solves
-    # are bound elsewhere) — off by default, kept as the building block
-    # for a future fully-fused factorization kernel.
-    pallas_leaf: str = "off"
+    # fused Pallas kernels for the 128x128 factorization leaves
+    # ("auto" | "on" | "off"), TPU only.  float64 factors use the
+    # double-single kernel (ops/pallas_leaf_ds.py): one launch replaces
+    # the ~128x8 microscopic XLA ops per leaf that otherwise dominate
+    # the whole IPM iteration (measured — see CLAUDE.md perf notes),
+    # at ~2^-48 effective precision polished by float64 refinement.
+    # float32 factors use the plain kernel (ops/pallas_leaf.py).
+    pallas_leaf: str = "auto"
+    # dtype of the banded strategy's off-diagonal/Schur/solve block
+    # products ("float64" | "float32").  float64 matmuls at (128,128)
+    # sizes lower to chunked while-loops with ~300us overhead each on
+    # v5e; "float32" runs them on the MXU at "highest" precision
+    # (~7e-7 relative), absorbed by float64 refinement.  Leaf
+    # factorizations stay double-single regardless.
+    band_gemm: str = "float64"

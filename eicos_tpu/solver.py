@@ -275,17 +275,21 @@ def solve(structure: ProblemStructure, data: ProblemData,
         i = stt.iter
 
         # ============ computeResiduals (:643-689) ============
-        rx_h = -(w.z @ G)
+        # sparse SpMVs in the reference; here f64 matvecs — routed
+        # through the presliced Ozaki path on TPU (kkt._oz_mm), where
+        # XLA's chunked-while f64 dot emulation is latency-bound
+        rx_h = -kkt._oz_mm(ctx.sG, w.z, G)
         if p:
-            rx_h = rx_h - w.y @ A
+            rx_h = rx_h - kkt._oz_mm(ctx.sA, w.y, A)
         hresx = _norm(rx_h)
         rx = rx_h - w.tau * c
 
-        ry_h = A @ w.x if p else jnp.zeros((0,), f64)
+        ry_h = kkt._oz_mm(ctx.sAT, w.x, A.T) if p else jnp.zeros((0,), f64)
         hresy = _norm(ry_h)
         ry = ry_h - w.tau * b
 
-        rz_h = w.s + (G @ w.x if m else jnp.zeros((0,), f64))
+        rz_h = w.s + (kkt._oz_mm(ctx.sGT, w.x, G.T) if m
+                      else jnp.zeros((0,), f64))
         hresz = _norm(rz_h)
         rz = rz_h - w.tau * h
 

@@ -100,24 +100,57 @@ class GSplit:
 
     sing_rows: tuple   # LP rows of G with exactly one structural nonzero
     sing_cols: tuple   # their column indices
-    dense_rows: tuple  # remaining LP rows (SOC rows are appended by users)
+    dense_rows: tuple  # LP rows with nnz > spr_width (SOC rows appended
+    #                    by users)
+    # LP rows with 2 <= nnz <= spr_width ("scatter rows"): their H
+    # contribution w_r * g_i g_j lands on at most spr_width^2 entries,
+    # assembled by one static scatter-add instead of the GEMM.  For
+    # MPC-class problems (box rows singleton, rate rows 2-nnz) this
+    # removes the H = G'W^{-2}G GEMM — the dominant per-iteration matmul
+    # AND the dominant HBM consumer under XLA's float64 emulation —
+    # entirely.  The reference gets this for free from CSC sparse
+    # products; this is the dense-MXU analogue.
+    spr_rows: tuple = ()
+    spr_cols: tuple = ()   # (n_spr * spr_width,) flattened, pad col = n
+    spr_width: int = 0
+
+    SPR_WIDTH_MAX = 4
 
     @staticmethod
-    def from_dense(G, l: int) -> "GSplit":
+    def from_dense(G, l: int, n: int = None) -> "GSplit":
         """Detect the split from a concrete G's nonzero pattern; rows
         beyond ``l`` (SOC rows) always go dense."""
         G = np.asarray(G)
+        n = G.shape[1] if n is None else n
         nnz_per_row = (G[:l] != 0).sum(axis=1)
         sing = np.flatnonzero(nnz_per_row == 1)
-        dense = np.flatnonzero(nnz_per_row != 1)
         cols = np.argmax(G[sing] != 0, axis=1) if sing.size else sing
+        wmax = GSplit.SPR_WIDTH_MAX
+        spr = np.flatnonzero((nnz_per_row >= 2) & (nnz_per_row <= wmax))
+        dense = np.flatnonzero(nnz_per_row > wmax)
+        if spr.size:
+            width = int(nnz_per_row[spr].max())
+            spr_cols = np.full((spr.size, width), n, dtype=np.int64)
+            for t, r in enumerate(spr):
+                cc = np.flatnonzero(G[r] != 0)
+                spr_cols[t, :cc.size] = cc
+            spr_cols = tuple(int(c) for c in spr_cols.ravel())
+        else:
+            width = 0
+            spr_cols = ()
         return GSplit(sing_rows=tuple(int(r) for r in sing),
                       sing_cols=tuple(int(c) for c in cols),
-                      dense_rows=tuple(int(r) for r in dense))
+                      dense_rows=tuple(int(r) for r in dense),
+                      spr_rows=tuple(int(r) for r in spr),
+                      spr_cols=spr_cols, spr_width=width)
 
     @property
     def n_sing(self) -> int:
         return len(self.sing_rows)
+
+    @property
+    def n_spr(self) -> int:
+        return len(self.spr_rows)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,7 +220,7 @@ class ProblemStructure:
         """Attach the singleton-row split detected from a concrete G (used
         by the reduced KKT strategy's H formation).  Only worthwhile when a
         meaningful fraction of LP rows are bound constraints."""
-        split = GSplit.from_dense(G, self.l)
-        if split.n_sing == 0:
+        split = GSplit.from_dense(G, self.l, self.n)
+        if split.n_sing == 0 and split.n_spr == 0:
             return self
         return dataclasses.replace(self, gsplit=split)

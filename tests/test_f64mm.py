@@ -1,5 +1,5 @@
 """Ozaki-scheme float64 matmul on MXU-style bf16 arithmetic
-(eicos_tpu/ops/experimental_f64mm.py): accuracy against native f64 across dynamic
+(eicos_tpu/ops/f64mm.py): accuracy against native f64 across dynamic
 ranges, shapes, and degenerate inputs."""
 
 import numpy as np
@@ -8,7 +8,7 @@ import pytest
 import eicos_tpu  # noqa: F401  (x64 on)
 import jax.numpy as jnp
 
-from eicos_tpu.ops.experimental_f64mm import matmul_f64_mxu
+from eicos_tpu.ops.f64mm import matmul_f64_mxu
 
 
 @pytest.mark.parametrize("m,k,n,scale", [

@@ -66,10 +66,17 @@ def test_gsplit_detection():
     st, prob = corpus.make_mpc_like(horizon=12, nx=2, nu=4, seed=3)
     split = GSplit.from_dense(prob.G, st.l)
     assert split.n_sing == 2 * st.n
-    assert len(split.dense_rows) == st.m - 2 * st.n
+    # MPC rate-bound rows have exactly 2 nonzeros -> ALL remaining rows
+    # are "scatter rows" (H assembled by static scatter, zero GEMM rows)
+    assert split.n_spr == st.m - 2 * st.n
+    assert split.spr_width == 2
+    assert len(split.dense_rows) == 0
     # singleton columns: each variable appears twice (two-sided box)
     cols, counts = np.unique(split.sing_cols, return_counts=True)
     assert np.all(counts == 2) and len(cols) == st.n
+    # scatter-row pattern: padded flat cols, pad value == n
+    spr_cols = np.asarray(split.spr_cols).reshape(-1, split.spr_width)
+    assert np.all(spr_cols < st.n + 1)
 
 
 @pytest.mark.parametrize("family,fdtype", [
