@@ -55,11 +55,12 @@ import numpy as np
 # m = 2n + 2*(HORIZON-1)*NU = 4972
 HORIZON = 249
 NX, NU = 2, 4
-BATCH = 32          # max lanes per compiled batch (auto-shrinks on OOM).
-                    # f64 lanes are heavy: K + L^{-1} ~ 67 MB/lane, and
-                    # XLA's f64-emulated H GEMM allocates an 8-way f32
-                    # split of the whole batched (n, n) output (~0.54
-                    # GB/lane measured at n=1494)
+BATCH = 64          # max lanes per compiled batch (auto-shrinks on OOM).
+                    # The banded+kernel path stores only band blocks and
+                    # an (n, n) H per lane (~22 MB f64), so large batches
+                    # fit; 64 is the validated all-lanes-OPTIMAL point
+                    # (at 128 one tail lane trips the double-single
+                    # precision margin at mu ~ 1e-7 and exits NUMERICS)
 ROUNDS = 3          # timed batches; total solves = batch * ROUNDS
 BASELINE_PROBES = 12
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),

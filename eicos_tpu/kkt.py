@@ -423,6 +423,12 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     (ctx.A.astype(fdtype).reshape(-1) if p
                      else jnp.zeros((0,), fdtype)),
                     jnp.asarray([-delta, 0.0, 1.0], fdtype)])
+                # NOTE: symmetric Jacobi pre-scaling was tried here and
+                # made things much worse (56/128 NUMERICS lanes): the
+                # unpivoted banded elimination's stability rests on the
+                # natural magnitude ordering of the quasidefinite
+                # diagonal; normalizing it trades benign scaling for
+                # real elimination growth.
                 dsfac = band_factor_ds(flatsrc[idx_diag],
                                        flatsrc[idx_sub])
 

@@ -62,10 +62,11 @@ from .pallas_leaf_ds import (B, _fori32, _two_sum, _quick_renorm, ds_add,
 # 21 partials (levels s+t <= 5) fold into a double-single accumulator
 # with error-free TwoSum — ~2^-48 worst-case relative error overall.
 
-_NCHUNK = 6          # 6 x 8 bits = 48 mantissa bits
-_NLEVEL = 7          # keep s + t <= 6 (the dropped tail costs ~2^-56;
-#                      one extra level bought the interior-point endgame
-#                      margin on outlier lanes — measured)
+_NCHUNK = 7          # 7 x 8 bits = 56 mantissa bits (> f64's 53)
+_NLEVEL = 8          # keep s + t <= 7 (dropped tail ~2^-64); the extra
+#                      chunk + level cut iterative-refinement rounds and
+#                      buy the interior-point endgame margin on outlier
+#                      lanes — measured
 
 
 def _pow2_above(m):
@@ -167,9 +168,11 @@ def _leaf_eliminate(Mh, Ml):
         below = rowv > j
         lh = jnp.where(below, lh, 0.0)
         ll = jnp.where(below, ll, 0.0)
-        oph, opl = ds_mul(lh, ll, lh.reshape(1, B), ll.reshape(1, B))
-        uph, upl = ds_mul(oph, opl, jnp.broadcast_to(djh, (B, B)),
-                          jnp.broadcast_to(djl, (B, B)))
+        # fold the pivot into the (B, 1) column BEFORE the outer
+        # product: (d*l) l^T == l d l^T, one full-size ds_mul fewer
+        ldh, ldl = ds_mul(lh, ll, jnp.broadcast_to(djh, (B, 1)),
+                          jnp.broadcast_to(djl, (B, 1)))
+        uph, upl = ds_mul(ldh, ldl, lh.reshape(1, B), ll.reshape(1, B))
         Mh, Ml = ds_add(Mh, Ml, -uph, -upl)
         Lh = jnp.where(cmask, lh, Lh)
         Ll = jnp.where(cmask, ll, Ll)
@@ -189,59 +192,62 @@ def _leaf_eliminate(Mh, Ml):
 
 
 # ------------------------------------------------- factor kernel (bwb=1)
-# One Pallas program per LANE: the whole band lives in VMEM and the block
-# rows run in an in-kernel loop (16 sequential grid programs per factor
-# were measured slower than the XLA scan — per-program launch overhead —
-# so the loop moved inside).
+# Grid = one step per block row; scratch VMEM carries Dinv_{k-1}/d_{k-1}
+# across grid steps (TPU grid programs run sequentially).  Row-blocked
+# specs keep per-program VMEM ~1.5 MB, so hundreds of vmapped lanes fit
+# the 16 MB scoped-vmem budget (a whole-lane variant measured the same
+# speed but OOM'd VMEM at batch 128).
 
-def _rowrd(ref, k):
-    """Read block row k of a (..., nb, B, B) VMEM ref -> (B, B)."""
-    lead = ref.ndim - 3
-    idx = (0,) * lead + (pl.ds(k, 1), slice(None), slice(None))
-    return ref[idx].reshape(ref.shape[-2], ref.shape[-1])
+def _rd(ref):
+    """Read a whole block ref, squeezing leading unit dims."""
+    return ref[...].reshape(ref.shape[-2], ref.shape[-1])
 
 
-def _rowwr(ref, k, val):
-    lead = ref.ndim - 3
-    idx = (0,) * lead + (pl.ds(k, 1), slice(None), slice(None))
-    ref[idx] = val.reshape((1,) + val.shape)
+def _wr(ref, val):
+    ref[...] = val.reshape(ref.shape)
 
 
 def _band_factor_kernel(kdh_ref, kdl_ref, ksh_ref, ksl_ref,
                         lbh_ref, lbl_ref, dih_ref, dil_ref,
-                        dh_ref, dl_ref):
-    nb = kdh_ref.shape[-3]
+                        dh_ref, dl_ref, c_dih, c_dil, c_dh, c_dl):
+    k = pl.program_id(0)
 
-    def row(k, carry):
-        Xph, Xpl, dph, dpl = carry          # Dinv_{k-1}, d_{k-1}
-        Kdh, Kdl = _rowrd(kdh_ref, k), _rowrd(kdl_ref, k)
-        Ksh, Ksl = _rowrd(ksh_ref, k), _rowrd(ksl_ref, k)
-        # L[k, k-1] = Ksub_k Dinv_{k-1}^T / d_{k-1} (Dinv = 0 at k = 0)
-        ph, plo = ds_matmul(Ksh, Ksl, Xph, Xpl, transpose_b=True)
-        Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (B, B)),
-                        jnp.broadcast_to(dpl, (B, B)))
-        # Schur: Kkk -= (L * d) L^T
-        sh, sl = ds_mul(Lh, Ll, jnp.broadcast_to(dph, (B, B)),
-                        jnp.broadcast_to(dpl, (B, B)))
-        uh, ul = ds_matmul(sh, sl, Lh, Ll, transpose_b=True)
-        Mh, Ml = ds_add(Kdh, Kdl, -uh, -ul)
-        (_, _), (dh, dl), (Xh, Xl) = _leaf_eliminate(Mh, Ml)
-        _rowwr(lbh_ref, k, Lh)
-        _rowwr(lbl_ref, k, Ll)
-        _rowwr(dih_ref, k, Xh)
-        _rowwr(dil_ref, k, Xl)
-        _rowwr(dh_ref, k, jnp.broadcast_to(dh, (8, B)))
-        _rowwr(dl_ref, k, jnp.broadcast_to(dl, (8, B)))
-        return Xh, Xl, dh, dl
+    @pl.when(k == 0)
+    def _init():
+        c_dih[...] = jnp.zeros_like(c_dih)
+        c_dil[...] = jnp.zeros_like(c_dil)
+        c_dh[...] = jnp.ones_like(c_dh)
+        c_dl[...] = jnp.zeros_like(c_dl)
 
-    zero = jnp.zeros((B, B), jnp.float32)
-    _fori32(nb, row, (zero, zero, jnp.ones((1, B), jnp.float32),
-                      jnp.zeros((1, B), jnp.float32)))
+    Kdh, Kdl = _rd(kdh_ref), _rd(kdl_ref)
+    Ksh, Ksl = _rd(ksh_ref), _rd(ksl_ref)
+    dph = c_dh[...][0:1]
+    dpl = c_dl[...][0:1]
+    # L[k, k-1] = Ksub_k Dinv_{k-1}^T / d_{k-1} (Dinv = 0 at k = 0)
+    ph, plo = ds_matmul(Ksh, Ksl, c_dih[...], c_dil[...], transpose_b=True)
+    Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (B, B)),
+                    jnp.broadcast_to(dpl, (B, B)))
+    # Schur: Kkk -= (L * d) L^T
+    sh, sl = ds_mul(Lh, Ll, jnp.broadcast_to(dph, (B, B)),
+                    jnp.broadcast_to(dpl, (B, B)))
+    uh, ul = ds_matmul(sh, sl, Lh, Ll, transpose_b=True)
+    Mh, Ml = ds_add(Kdh, Kdl, -uh, -ul)
+    (_, _), (dh, dl), (Xh, Xl) = _leaf_eliminate(Mh, Ml)
+    _wr(lbh_ref, Lh)
+    _wr(lbl_ref, Ll)
+    _wr(dih_ref, Xh)
+    _wr(dil_ref, Xl)
+    _wr(dh_ref, jnp.broadcast_to(dh, (8, B)))
+    _wr(dl_ref, jnp.broadcast_to(dl, (8, B)))
+    c_dih[...] = Xh
+    c_dil[...] = Xl
+    c_dh[...] = jnp.broadcast_to(dh, c_dh.shape)
+    c_dl[...] = jnp.broadcast_to(dl, c_dl.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def band_factor_ds(Kdiag, Ksub, interpret: bool = False):
-    """Double-single banded factor, bwb = 1, one kernel launch.
+    """Double-single banded factor, bwb = 1.
 
     ``Kdiag``: (nb, B, B) float64 diagonal blocks; ``Ksub``: (nb, B, B)
     float64 subdiagonal blocks (row k holds K[k, k-1]; row 0 ignored,
@@ -259,12 +265,16 @@ def band_factor_ds(Kdiag, Ksub, interpret: bool = False):
 
     kdh, kdl = split(Kdiag)
     ksh, ksl = split(Ksub)
-    whole_bb = pl.BlockSpec(memory_space=pltpu.VMEM)
+    spec_bb = pl.BlockSpec((1, B, B), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         return pl.pallas_call(
             _band_factor_kernel,
-            in_specs=[whole_bb] * 4,
-            out_specs=(whole_bb,) * 6,
+            grid=(nb,),
+            in_specs=[spec_bb] * 4,
+            out_specs=(spec_bb, spec_bb, spec_bb, spec_bb, spec_d, spec_d),
             out_shape=(
                 jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
                 jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
@@ -273,62 +283,72 @@ def band_factor_ds(Kdiag, Ksub, interpret: bool = False):
                 jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
                 jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((B, B), jnp.float32),
+                pltpu.VMEM((B, B), jnp.float32),
+                pltpu.VMEM((8, B), jnp.float32),
+                pltpu.VMEM((8, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(kdh, kdl, ksh, ksl)
 
 
-# ------------------------------------------------- solve kernel (bwb=1)
+# ------------------------------------------------- solve kernels (bwb=1)
 # RHS layout: (nb, KP, B) — x^T in block-row-major, KP padded rhs rows.
 KP = 16  # padded RHS-column tile (bf16 sublane tile is 16)
 
 
-def _band_solve_kernel(lbh_ref, lbl_ref, dih_ref, dil_ref,
-                       dh_ref, dl_ref, xh_ref, xl_ref,
-                       zh_ref, zl_ref, w_h, w_l):
-    """Whole solve (forward, pivots, backward) in one program.
+def _fwd_kernel(lbh_ref, lbl_ref, dih_ref, dil_ref, dh_ref, dl_ref,
+                xh_ref, xl_ref, wh_ref, wl_ref, c_yh, c_yl):
+    """Forward substitution + pivot scaling: one block row per step.
+    w_k = (Dinv_k (x_k - L_k y_{k-1})) / d_k ; carry y_k unscaled."""
+    k = pl.program_id(0)
 
-    Scratch w holds the pivot-scaled forward solution."""
-    nb = lbh_ref.shape[-3]
+    @pl.when(k == 0)
+    def _init():
+        c_yh[...] = jnp.zeros_like(c_yh)
+        c_yl[...] = jnp.zeros_like(c_yl)
 
-    def _rowx(ref, k):
-        lead = ref.ndim - 3
-        idx = (0,) * lead + (pl.ds(k, 1), slice(None), slice(None))
-        return ref[idx].reshape(ref.shape[-2], ref.shape[-1])
+    Lh, Ll = _rd(lbh_ref), _rd(lbl_ref)
+    Dih, Dil = _rd(dih_ref), _rd(dil_ref)
+    th, tl = ds_matmul(c_yh[...], c_yl[...], Lh, Ll, transpose_b=True)
+    ah, al = ds_add(_rd(xh_ref), _rd(xl_ref), -th, -tl)
+    yh, yl = ds_matmul(ah, al, Dih, Dil, transpose_b=True)
+    dh = _rd(dh_ref)[0:1]
+    dl = _rd(dl_ref)[0:1]
+    wh, wl = ds_div(yh, yl, jnp.broadcast_to(dh, (KP, B)),
+                    jnp.broadcast_to(dl, (KP, B)))
+    _wr(wh_ref, wh)
+    _wr(wl_ref, wl)
+    c_yh[...] = yh
+    c_yl[...] = yl
 
-    def fwd(k, carry):
-        yph, ypl = carry
-        Lh, Ll = _rowrd(lbh_ref, k), _rowrd(lbl_ref, k)
-        Dih, Dil = _rowrd(dih_ref, k), _rowrd(dil_ref, k)
-        th, tl = ds_matmul(yph, ypl, Lh, Ll, transpose_b=True)
-        ah, al = ds_add(_rowx(xh_ref, k), _rowx(xl_ref, k), -th, -tl)
-        yh, yl = ds_matmul(ah, al, Dih, Dil, transpose_b=True)
-        # w = y / d (pivots; row 0 of the (8, B) d tile is live)
-        dh = _rowx(dh_ref, k)[0:1]
-        dl = _rowx(dl_ref, k)[0:1]
-        wh, wl = ds_div(yh, yl, jnp.broadcast_to(dh, (KP, B)),
-                        jnp.broadcast_to(dl, (KP, B)))
-        w_h[pl.ds(k, 1)] = wh.reshape(1, KP, B)
-        w_l[pl.ds(k, 1)] = wl.reshape(1, KP, B)
-        return yh, yl
 
-    zero_x = jnp.zeros((KP, B), jnp.float32)
-    _fori32(nb, fwd, (zero_x, zero_x))
+def _bwd_kernel(lbh_ref, lbl_ref, dih_ref, dil_ref, wh_ref, wl_ref,
+                zh_ref, zl_ref, c_zh, c_zl, c_lh, c_ll):
+    """Backward: z_k = Dinv_k^T (w_k - L_{k+1}^T z_{k+1}); grid reversed.
+    Scratch carries z_{k+1} AND L_{k+1}."""
+    i = pl.program_id(0)
 
-    def bwd(i, carry):
-        zph, zpl, Lnh, Lnl = carry          # z_{k+1}, L_{k+1}
-        k = nb - 1 - i
-        Dih, Dil = _rowrd(dih_ref, k), _rowrd(dil_ref, k)
-        th, tl = ds_matmul(zph, zpl, Lnh, Lnl)
-        wh = w_h[pl.ds(k, 1)].reshape(KP, B)
-        wl = w_l[pl.ds(k, 1)].reshape(KP, B)
-        ah, al = ds_add(wh, wl, -th, -tl)
-        zh, zl = ds_matmul(ah, al, Dih, Dil)
-        _rowwr(zh_ref, k, zh)
-        _rowwr(zl_ref, k, zl)
-        return zh, zl, _rowrd(lbh_ref, k), _rowrd(lbl_ref, k)
+    @pl.when(i == 0)
+    def _init():
+        c_zh[...] = jnp.zeros_like(c_zh)
+        c_zl[...] = jnp.zeros_like(c_zl)
+        c_lh[...] = jnp.zeros_like(c_lh)
+        c_ll[...] = jnp.zeros_like(c_ll)
 
-    zero_bb = jnp.zeros((B, B), jnp.float32)
-    _fori32(nb, bwd, (zero_x, zero_x, zero_bb, zero_bb))
+    Dih, Dil = _rd(dih_ref), _rd(dil_ref)
+    th, tl = ds_matmul(c_zh[...], c_zl[...], c_lh[...], c_ll[...])
+    ah, al = ds_add(_rd(wh_ref), _rd(wl_ref), -th, -tl)
+    zh, zl = ds_matmul(ah, al, Dih, Dil)
+    _wr(zh_ref, zh)
+    _wr(zl_ref, zl)
+    c_zh[...] = zh
+    c_zl[...] = zl
+    c_lh[...] = _rd(lbh_ref)
+    c_ll[...] = _rd(lbl_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -337,7 +357,7 @@ def band_solve_ds(fac, rhs_t, interpret: bool = False):
 
     ``fac``: output tuple of band_factor_ds.  ``rhs_t``: (KP, D) float64
     (transposed right-hand sides, unused rows zero).  Returns (KP, D)
-    float64.  One kernel launch for the whole triangular solve chain.
+    float64.
     """
     Lh, Ll, Dih, Dil, dh, dl = fac
     nb = Lh.shape[0]
@@ -351,16 +371,36 @@ def band_solve_ds(fac, rhs_t, interpret: bool = False):
         return v.reshape(KP, nb, B).transpose(1, 0, 2)
 
     xh, xl = tob(xh), tob(xl)
-    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    spec_bb = pl.BlockSpec((1, B, B), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_x = pl.BlockSpec((1, KP, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rspec_bb = pl.BlockSpec((1, B, B), lambda i: (nb - 1 - i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    rspec_x = pl.BlockSpec((1, KP, B), lambda i: (nb - 1 - i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_sh = (jax.ShapeDtypeStruct((nb, KP, B), jnp.float32),) * 2
+    arb = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
     with jax.enable_x64(False):
-        zh, zl = pl.pallas_call(
-            _band_solve_kernel,
-            in_specs=[whole] * 8,
-            out_specs=(whole, whole),
-            out_shape=(jax.ShapeDtypeStruct((nb, KP, B), jnp.float32),) * 2,
-            scratch_shapes=[pltpu.VMEM((nb, KP, B), jnp.float32)] * 2,
+        wh, wl = pl.pallas_call(
+            _fwd_kernel, grid=(nb,),
+            in_specs=[spec_bb] * 4 + [spec_d] * 2 + [spec_x] * 2,
+            out_specs=(spec_x, spec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2,
+            compiler_params=arb,
             interpret=interpret,
         )(Lh, Ll, Dih, Dil, dh, dl, xh, xl)
+        zh, zl = pl.pallas_call(
+            _bwd_kernel, grid=(nb,),
+            in_specs=[rspec_bb] * 4 + [rspec_x] * 2,
+            out_specs=(rspec_x, rspec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2
+            + [pltpu.VMEM((B, B), jnp.float32)] * 2,
+            compiler_params=arb,
+            interpret=interpret,
+        )(Lh, Ll, Dih, Dil, wh, wl)
     z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
     return z.transpose(1, 0, 2).reshape(KP, D)
 

@@ -159,9 +159,11 @@ def _leaf_kernel_ds(mh_ref, ml_ref, lh_ref, ll_ref, dh_ref, dl_ref,
         lh = jnp.where(below, lh, 0.0)
         ll = jnp.where(below, ll, 0.0)
         # rank-1 update: M -= d * l l^T   (double-single throughout)
-        oph, opl = ds_mul(lh, ll, lh.reshape(1, B), ll.reshape(1, B))
-        uph, upl = ds_mul(oph, opl, jnp.broadcast_to(djh, (B, B)),
-                          jnp.broadcast_to(djl, (B, B)))
+        # fold the pivot into the (B, 1) column BEFORE the outer
+        # product: (d*l) l^T == l d l^T, one full-size ds_mul fewer
+        ldh, ldl = ds_mul(lh, ll, jnp.broadcast_to(djh, (B, 1)),
+                          jnp.broadcast_to(djl, (B, 1)))
+        uph, upl = ds_mul(ldh, ldl, lh.reshape(1, B), ll.reshape(1, B))
         Mh, Ml = ds_add(Mh, Ml, -uph, -upl)
         Lh = jnp.where(cmask, lh, Lh)
         Ll = jnp.where(cmask, ll, Ll)

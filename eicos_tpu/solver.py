@@ -278,18 +278,28 @@ def solve(structure: ProblemStructure, data: ProblemData,
         # sparse SpMVs in the reference; here f64 matvecs — routed
         # through the presliced Ozaki path on TPU (kkt._oz_mm), where
         # XLA's chunked-while f64 dot emulation is latency-bound
-        rx_h = -kkt._oz_mm(ctx.sG, w.z, G)
+        # fallbacks keep the ORIGINAL operand orientation (A @ x, not
+        # x @ A.T): the reduction order changes the f64 rounding path,
+        # and knife-edge certificates (unboundedMaxSqrt) are decided by
+        # it — measured: the transposed form flips DINF to NUMERICS
+        rx_h = (-ctx.sG.rmatmul(w.z) if ctx.sG is not None
+                else -(w.z @ G))
         if p:
-            rx_h = rx_h - kkt._oz_mm(ctx.sA, w.y, A)
+            rx_h = rx_h - (ctx.sA.rmatmul(w.y) if ctx.sA is not None
+                           else w.y @ A)
         hresx = _norm(rx_h)
         rx = rx_h - w.tau * c
 
-        ry_h = kkt._oz_mm(ctx.sAT, w.x, A.T) if p else jnp.zeros((0,), f64)
+        if p:
+            ry_h = (ctx.sAT.rmatmul(w.x) if ctx.sAT is not None
+                    else A @ w.x)
+        else:
+            ry_h = jnp.zeros((0,), f64)
         hresy = _norm(ry_h)
         ry = ry_h - w.tau * b
 
-        rz_h = w.s + (kkt._oz_mm(ctx.sGT, w.x, G.T) if m
-                      else jnp.zeros((0,), f64))
+        rz_h = w.s + ((ctx.sGT.rmatmul(w.x) if ctx.sGT is not None
+                       else G @ w.x) if m else jnp.zeros((0,), f64))
         hresz = _norm(rz_h)
         rz = rz_h - w.tau * h
 
