@@ -87,13 +87,15 @@ from .structure import ProblemStructure
 class KKTContext(NamedTuple):
     """Per-solve constants: equilibrated data + static base matrix.
 
-    On TPU at float64, the s* fields hold Ozaki-presliced versions of
-    G/A and their transposes (ops/f64mm.SlicedOperand): XLA's native
-    f64 dot emulation is a chunked while loop whose latency dominates
-    the skinny residual/elimination matvecs of iterative refinement;
-    the presliced form turns each into straight-line bf16 MXU passes.
-    The slices are built once per solve from loop-invariant data (XLA
-    hoists them out of the IPM while-loop).
+    On TPU at float64, the s* fields hold the big operands G/A (and
+    transposes) as double-single Pallas GEMV operands
+    (ops/pallas_gemm_ds.BigOperand): XLA's native f64 dot emulation is
+    a chunked while loop whose latency dominates the skinny residual/
+    elimination matvecs of iterative refinement, and the XLA-level
+    Ozaki preslicing (ops/f64mm.SlicedOperand) re-reads the operand per
+    slice pair; the kernel streams the (hi, lo) float32 pair from HBM
+    once per product.  Built once per solve from loop-invariant data
+    (XLA hoists them out of the IPM while-loop).
     """
 
     G: jax.Array       # (m, n)

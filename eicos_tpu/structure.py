@@ -125,7 +125,9 @@ class GSplit:
         nnz_per_row = (G[:l] != 0).sum(axis=1)
         sing = np.flatnonzero(nnz_per_row == 1)
         cols = np.argmax(G[sing] != 0, axis=1) if sing.size else sing
-        wmax = GSplit.SPR_WIDTH_MAX
+        # "scatter rows" must be genuinely sparse: tiny problems whose
+        # rows touch every column gain nothing from the scatter form
+        wmax = min(GSplit.SPR_WIDTH_MAX, G.shape[1] - 1)
         spr = np.flatnonzero((nnz_per_row >= 2) & (nnz_per_row <= wmax))
         dense = np.flatnonzero(nnz_per_row > wmax)
         if spr.size:

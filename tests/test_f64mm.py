@@ -46,3 +46,27 @@ def test_zeros(rng):
 def test_contraction_limit():
     with pytest.raises(AssertionError):
         matmul_f64_mxu(jnp.zeros((2, 5000)), jnp.zeros((5000, 2)))
+
+
+def test_sliced_operand_matches_native():
+    """SlicedOperand (the presliced XLA-level form; kept as the
+    portable fallback to the Pallas GEMV kernel) reproduces native f64
+    products, including contraction lengths beyond one slice group
+    (> 4096) and 1-D matvecs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from eicos_tpu.ops.f64mm import SlicedOperand
+
+    rng = np.random.default_rng(3)
+    k, n = 4972, 257   # k > _K_MAX: exercises the group split
+    b = rng.standard_normal((k, n)) * np.exp(rng.uniform(-6, 6, (k, 1)))
+    a = rng.standard_normal((3, k)) * np.exp(rng.uniform(-4, 4, (3, 1)))
+    op = SlicedOperand(jnp.asarray(b))
+    out = np.asarray(jax.device_get(op.rmatmul(jnp.asarray(a))))
+    ref = a @ b
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-14
+    v = np.asarray(jax.device_get(op.rmatmul(jnp.asarray(a[0]))))
+    assert v.shape == (n,)
+    assert np.abs(v - ref[0]).max() / np.abs(ref[0]).max() < 1e-13
