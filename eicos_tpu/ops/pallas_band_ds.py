@@ -49,7 +49,7 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 from .pallas_leaf_ds import (B, _fori32, _two_sum, _quick_renorm, ds_add,
-                             ds_mul, ds_div)
+                             ds_mul, ds_div, ds_outer)
 
 
 # ---------------- double-single GEMM from exact bf16 partials ----------
@@ -169,10 +169,11 @@ def _leaf_eliminate(Mh, Ml):
         lh = jnp.where(below, lh, 0.0)
         ll = jnp.where(below, ll, 0.0)
         # fold the pivot into the (B, 1) column BEFORE the outer
-        # product: (d*l) l^T == l d l^T, one full-size ds_mul fewer
+        # product ((d*l) l^T == l d l^T), and use the broadcast-aware
+        # ds_outer so splits run at vector shapes
         ldh, ldl = ds_mul(lh, ll, jnp.broadcast_to(djh, (B, 1)),
                           jnp.broadcast_to(djl, (B, 1)))
-        uph, upl = ds_mul(ldh, ldl, lh.reshape(1, B), ll.reshape(1, B))
+        uph, upl = ds_outer(ldh, ldl, lh.reshape(1, B), ll.reshape(1, B))
         Mh, Ml = ds_add(Mh, Ml, -uph, -upl)
         Lh = jnp.where(cmask, lh, Lh)
         Ll = jnp.where(cmask, ll, Ll)
@@ -180,7 +181,7 @@ def _leaf_eliminate(Mh, Ml):
         dl = jnp.where(colv == j, djl, dl)
         rjh = jnp.sum(jnp.where(row == j, Xh, 0.0), axis=0, keepdims=True)
         rjl = jnp.sum(jnp.where(row == j, Xl, 0.0), axis=0, keepdims=True)
-        sh, sl = ds_mul(lh, ll, rjh, rjl)
+        sh, sl = ds_outer(lh, ll, rjh, rjl)
         Xh, Xl = ds_add(Xh, Xl, -sh, -sl)
         return Mh, Ml, Lh, Ll, dh, dl, Xh, Xl
 

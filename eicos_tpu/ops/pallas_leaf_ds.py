@@ -98,6 +98,20 @@ def ds_mul(xh, xl, yh, yl):
     return _quick_renorm(ph, pe)
 
 
+def ds_outer(ah, al, bh, bl):
+    """Double-single product of BROADCAST factors (e.g. a (B,1) column
+    times a (1,B) row): Veltkamp splits and cross terms are computed at
+    the small operand shapes — only the final products and merges touch
+    the broadcast shape.  ~8 fewer full-size ops than ds_mul on the
+    broadcasted inputs."""
+    p = ah * bh
+    ahh, ahl = _split(ah)
+    bhh, bhl = _split(bh)
+    err = ((ahh * bhh - p) + ahh * bhl + ahl * bhh) + ahl * bhl
+    err = err + (ah * bl + al * bh)
+    return _quick_renorm(p, err)
+
+
 def ds_div(xh, xl, yh, yl):
     q1 = xh / yh
     # r = x - q1*y, computed in double-single
@@ -160,10 +174,11 @@ def _leaf_kernel_ds(mh_ref, ml_ref, lh_ref, ll_ref, dh_ref, dl_ref,
         ll = jnp.where(below, ll, 0.0)
         # rank-1 update: M -= d * l l^T   (double-single throughout)
         # fold the pivot into the (B, 1) column BEFORE the outer
-        # product: (d*l) l^T == l d l^T, one full-size ds_mul fewer
+        # product ((d*l) l^T == l d l^T), and use the broadcast-aware
+        # ds_outer so splits run at vector shapes
         ldh, ldl = ds_mul(lh, ll, jnp.broadcast_to(djh, (B, 1)),
                           jnp.broadcast_to(djl, (B, 1)))
-        uph, upl = ds_mul(ldh, ldl, lh.reshape(1, B), ll.reshape(1, B))
+        uph, upl = ds_outer(ldh, ldl, lh.reshape(1, B), ll.reshape(1, B))
         Mh, Ml = ds_add(Mh, Ml, -uph, -upl)
         Lh = jnp.where(cmask, lh, Lh)
         Ll = jnp.where(cmask, ll, Ll)
@@ -172,7 +187,7 @@ def _leaf_kernel_ds(mh_ref, ml_ref, lh_ref, ll_ref, dh_ref, dl_ref,
         # X <- (I - l_j e_j^T) X : subtract l_j * (row j of X)
         rjh = jnp.sum(jnp.where(row == j, Xh, 0.0), axis=0, keepdims=True)
         rjl = jnp.sum(jnp.where(row == j, Xl, 0.0), axis=0, keepdims=True)
-        sh, sl = ds_mul(lh, ll, rjh, rjl)
+        sh, sl = ds_outer(lh, ll, rjh, rjl)
         Xh, Xl = ds_add(Xh, Xl, -sh, -sl)
         return Mh, Ml, Lh, Ll, dh, dl, Xh, Xl
 

@@ -1,0 +1,173 @@
+"""CPU-runnable tests for the double-single (two-float32) kernel
+machinery behind the TPU hot path.
+
+The Pallas kernels themselves are TPU-only (and the grid-carried
+scratch kernels are validated on hardware — the interpreter has a
+known precision quirk there, see ops/pallas_band_ds.py history), but
+their numeric building blocks are plain jax ops testable anywhere:
+
+* the ds_* double-single primitives (Dekker/Knuth error-free
+  transforms) and the exact-product chunked ds_matmul;
+* the static band-gather index maps that feed the banded kernels
+  (checked against the dense KKT assembly they replace);
+* the ds GEMV kernel in interpreter mode (no cross-step scratch).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _split64(x):
+    hi = np.asarray(x, np.float64).astype(np.float32)
+    lo = (np.asarray(x, np.float64) - hi.astype(np.float64)).astype(
+        np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def test_ds_primitives_accuracy():
+    from eicos_tpu.ops.pallas_leaf_ds import ds_add, ds_div, ds_mul, ds_outer
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((64, 64)) * np.exp(rng.uniform(-9, 9, (64, 64)))
+    b = rng.standard_normal((64, 64)) * np.exp(rng.uniform(-9, 9, (64, 64)))
+    ah, al = _split64(a)
+    bh, bl = _split64(b)
+    with jax.enable_x64(False):
+        mh, ml = ds_mul(ah, al, bh, bl)
+        sh, sl = ds_add(ah, al, bh, bl)
+        qh, ql = ds_div(ah, al, bh, bl)
+        col = rng.standard_normal((64, 1)) * 1e5
+        row = rng.standard_normal((1, 64)) * 1e-5
+        ch, cl = _split64(col)
+        rh, rl = _split64(row)
+        oh, ol = ds_outer(ch, cl, rh, rl)
+
+    def back(h, l):
+        return np.asarray(h, np.float64) + np.asarray(l, np.float64)
+
+    assert np.abs((back(mh, ml) - a * b) / (a * b)).max() < 1e-13
+    rel = np.abs(back(sh, sl) - (a + b)) / np.maximum(np.abs(a + b), 1e-30)
+    # additive cancellation can only be exact to the inputs' own 2^-48
+    assert np.median(rel) < 1e-14
+    assert np.abs((back(qh, ql) - a / b) / (a / b)).max() < 1e-12
+    assert np.abs((back(oh, ol) - col * row) / (col * row)).max() < 1e-13
+
+
+def test_ds_matmul_accuracy():
+    from eicos_tpu.ops.pallas_band_ds import ds_matmul
+
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((128, 128)) * np.exp(
+        rng.uniform(-6, 6, (128, 1)))
+    Bm = rng.standard_normal((128, 128)) * np.exp(
+        rng.uniform(-6, 6, (128, 1)))
+    ah, al = _split64(A)
+    bh, bl = _split64(Bm)
+    with jax.enable_x64(False):
+        ch, cl = ds_matmul(ah, al, bh, bl)
+        th, tl = ds_matmul(ah, al, bh, bl, transpose_b=True)
+    got = np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
+    ref = A @ Bm
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-13
+    gt = np.asarray(th, np.float64) + np.asarray(tl, np.float64)
+    rt = A @ Bm.T
+    assert np.abs(gt - rt).max() / np.abs(rt).max() < 1e-13
+
+
+def test_band_gather_matches_dense_assembly():
+    """The static index maps that feed the banded kernels reproduce the
+    exact blocks of the dense [H A'; A -dI] assembly they replaced."""
+    from eicos_tpu import corpus, kkt
+    from eicos_tpu.plan import make_band_plan
+    from eicos_tpu.settings import Settings
+
+    st, prob = corpus.make_mpc_like(horizon=20, nx=2, nu=3, seed=2)
+    plan = make_band_plan(st, prob.G, prob.A)
+    assert plan.bwb == 1  # the MPC staircase
+    n, p = st.n, st.p
+    Dp = plan.dim
+    settings = Settings(kkt_strategy="banded")
+    delta = settings.deltastat
+
+    rng = np.random.default_rng(3)
+    H = rng.standard_normal((n, n))
+    H = H + H.T + 10.0 * np.eye(n)
+    A = np.asarray(prob.A, np.float64)
+
+    # dense reference
+    D = n + p
+    K = np.zeros((Dp, Dp))
+    K[:n, :n] = H
+    K[:n, n:D] = A.T
+    K[n:D, :n] = A
+    K[n:D, n:D] = -delta * np.eye(p)
+    K[D:, D:] = np.eye(Dp - D)
+    perm = np.asarray(plan.perm)
+    Kp = K[perm][:, perm]
+
+    idx_diag, idx_sub = kkt._band_gather_idx(
+        n, p, Dp, tuple(int(v) for v in perm))
+    flatsrc = np.concatenate([H.ravel(), A.ravel(),
+                              [-delta, 0.0, 1.0]])
+    nb = Dp // 128
+    for k in range(nb):
+        blk = Kp[k * 128:(k + 1) * 128, k * 128:(k + 1) * 128]
+        np.testing.assert_allclose(flatsrc[idx_diag[k]], blk, rtol=0)
+        if k:
+            sub = Kp[k * 128:(k + 1) * 128, (k - 1) * 128:k * 128]
+            np.testing.assert_allclose(flatsrc[idx_sub[k]], sub, rtol=0)
+
+
+def test_gemv_kernel_interpret():
+    """ds GEMV kernel through the Pallas interpreter (no cross-step
+    scratch, so the interpreter is numerically faithful here)."""
+    from eicos_tpu.ops import pallas_gemm_ds as g
+
+    if not g._HAS_PALLAS:
+        pytest.skip("pallas not importable")
+    rng = np.random.default_rng(4)
+    k, n = 384, 256
+    Bm = rng.standard_normal((k, n)) * np.exp(rng.uniform(-5, 5, (k, 1)))
+    a = rng.standard_normal((3, k))
+    # route BigOperand through an interpret-mode pallas_call
+    import functools
+
+    orig = g._gemv_call
+
+    @functools.lru_cache(maxsize=8)
+    def interp_call(R, kp, npad):
+        nn = npad // g.B
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        spec_a = pl.BlockSpec((R, kp), lambda j: (0, 0),
+                              memory_space=pltpu.VMEM)
+        spec_b = pl.BlockSpec((kp, g.B), lambda j: (0, j),
+                              memory_space=pltpu.VMEM)
+        spec_o = pl.BlockSpec((R, g.B), lambda j: (0, j),
+                              memory_space=pltpu.VMEM)
+        kern = functools.partial(g._gemv_kernel, R)
+
+        def call(ah, al, bh, bl):
+            with jax.enable_x64(False):
+                return pl.pallas_call(
+                    kern, grid=(nn,),
+                    in_specs=[spec_a, spec_a, spec_b, spec_b],
+                    out_specs=(spec_o, spec_o),
+                    out_shape=(jax.ShapeDtypeStruct((R, npad), jnp.float32),
+                               jax.ShapeDtypeStruct((R, npad), jnp.float32)),
+                    interpret=True,
+                )(ah, al, bh, bl)
+
+        return call
+
+    g._gemv_call = interp_call
+    try:
+        op = g.BigOperand(jnp.asarray(Bm))
+        out = np.asarray(jax.device_get(op.rmatmul(jnp.asarray(a))))
+    finally:
+        g._gemv_call = orig
+    ref = a @ Bm
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
