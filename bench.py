@@ -55,12 +55,13 @@ import numpy as np
 # m = 2n + 2*(HORIZON-1)*NU = 4972
 HORIZON = 249
 NX, NU = 2, 4
-BATCH = 64          # max lanes per compiled batch (auto-shrinks on OOM).
+BATCH = 128         # max lanes per compiled batch (auto-shrinks on OOM).
                     # The banded+kernel path stores only band blocks and
-                    # an (n, n) H per lane (~22 MB f64), so large batches
-                    # fit; 64 is the validated all-lanes-OPTIMAL point
-                    # (at 128 one tail lane trips the double-single
-                    # precision margin at mu ~ 1e-7 and exits NUMERICS)
+                    # an (n, n) H per lane (~22 MB f64) so large batches
+                    # fit; measured all-lanes-OPTIMAL at 128 and 256 with
+                    # the 56-bit double-single kernels (throughput
+                    # saturates ~14.5 solves/s from 128 up — the factor
+                    # kernel's per-lane VPU leaf work is the wall)
 ROUNDS = 3          # timed batches; total solves = batch * ROUNDS
 BASELINE_PROBES = 12
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),

@@ -222,6 +222,27 @@ def _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype, settings):
 
 
 @functools.lru_cache(maxsize=32)
+def _band_gather_split(n: int, p: int, Dp: int, perm: tuple):
+    """Like _band_gather_idx, but split by source: a mask + index into
+    the PER-LANE H.ravel(), and an index into the SHARED
+    [A.ravel() | (-delta, 0, 1)] flat — so under vmap the shared part
+    is gathered once, not concatenated into a per-lane buffer (at 128
+    lanes the concat cost ~1 GB of HBM writes per iteration)."""
+    idx_diag, idx_sub = _band_gather_idx(n, p, Dp, perm)
+    base_A = n * n
+
+    def split(idx):
+        from_h = idx < base_A
+        ih = np.where(from_h, idx, 0).astype(np.int32)
+        io = np.where(from_h, 0, idx - base_A).astype(np.int32)
+        # numpy, NOT jnp: cached values must not be tracers
+        return from_h, ih, io
+
+    return split(np.asarray(idx_diag, np.int64)), split(
+        np.asarray(idx_sub, np.int64))
+
+
+@functools.lru_cache(maxsize=32)
 def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple):
     """Static index maps: permuted block-tridiagonal blocks -> positions
     in flat [H.ravel() | A.ravel() | (-delta, 0, 1)] source.
@@ -418,21 +439,27 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 # static index maps — the dense (Dp, Dp) K is never
                 # materialized (doing so cost ~4 full-matrix copies per
                 # iteration and capped the batch size).
-                idx_diag, idx_sub = _band_gather_idx(
+                (dmask, dih, dio), (smask, sih, sio) = _band_gather_split(
                     n, p, Dp, tuple(int(v) for v in perm))
-                flatsrc = jnp.concatenate([
-                    H.reshape(-1),
+                Hflat = H.reshape(-1)
+                other = jnp.concatenate([
                     (ctx.A.astype(fdtype).reshape(-1) if p
                      else jnp.zeros((0,), fdtype)),
                     jnp.asarray([-delta, 0.0, 1.0], fdtype)])
+
+                def gather(mask, ih, io):
+                    # per-lane part from H, shared part from [A|consts]
+                    # — keeps the shared data out of per-lane buffers
+                    return jnp.where(mask, Hflat[ih], other[io])
+
                 # NOTE: symmetric Jacobi pre-scaling was tried here and
                 # made things much worse (56/128 NUMERICS lanes): the
                 # unpivoted banded elimination's stability rests on the
                 # natural magnitude ordering of the quasidefinite
                 # diagonal; normalizing it trades benign scaling for
                 # real elimination growth.
-                dsfac = band_factor_ds(flatsrc[idx_diag],
-                                       flatsrc[idx_sub])
+                dsfac = band_factor_ds(gather(dmask, dih, dio),
+                                       gather(smask, sih, sio))
 
                 def padded_solve(rr):
                     k = rr.shape[1]

@@ -99,7 +99,9 @@ def _matmul_rows(a2, hi, lo, k, n):
     ah = ap.astype(jnp.float32)
     al = (ap - ah.astype(jnp.float64)).astype(jnp.float32)
     oh, ol = _gemv_call(R, kp, npad)(ah, al, hi, lo)
+    # kernel outputs are (nn, R, B) column panels -> (R, npad)
     out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+    out = out.transpose(1, 0, 2).reshape(R, npad)
     return out[:r, :n]
 
 
@@ -131,26 +133,34 @@ def _rows_fn(k: int, n: int):
     return _rows
 
 
+RB_MAX = 128  # row tile: keeps the a-block + B panel inside the 16 MB
+#               per-program VMEM budget even when custom_vmap collapses
+#               hundreds of lanes into rows
+
+
 @functools.lru_cache(maxsize=256)
 def _gemv_call(R: int, kp: int, npad: int):
     nn = npad // B
-    spec_a = pl.BlockSpec((R, kp), lambda j: (0, 0),
+    RB = min(R, RB_MAX)
+    assert R % RB == 0, (R, RB)
+    nr = R // RB
+    spec_a = pl.BlockSpec((RB, kp), lambda j, r: (r, 0),
                           memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec((kp, B), lambda j: (0, j),
+    spec_b = pl.BlockSpec((kp, B), lambda j, r: (0, j),
                           memory_space=pltpu.VMEM)
-    spec_o = pl.BlockSpec((R, B), lambda j: (0, j),
+    spec_o = pl.BlockSpec((1, RB, B), lambda j, r: (j, r, 0),
                           memory_space=pltpu.VMEM)
-    kern = functools.partial(_gemv_kernel, R)
+    kern = functools.partial(_gemv_kernel, RB)
 
     def call(ah, al, bh, bl):
         with jax.enable_x64(False):
             return pl.pallas_call(
                 kern,
-                grid=(nn,),
+                grid=(nn, nr),
                 in_specs=[spec_a, spec_a, spec_b, spec_b],
                 out_specs=(spec_o, spec_o),
-                out_shape=(jax.ShapeDtypeStruct((R, npad), jnp.float32),
-                           jax.ShapeDtypeStruct((R, npad), jnp.float32)),
+                out_shape=(jax.ShapeDtypeStruct((nn, nr * RB, B),
+                                                jnp.float32),) * 2,
             )(ah, al, bh, bl)
 
     return jax.jit(call)

@@ -139,25 +139,28 @@ def test_gemv_kernel_interpret():
 
     @functools.lru_cache(maxsize=8)
     def interp_call(R, kp, npad):
+        # mirrors _gemv_call's row-tiled 2-D grid, in interpret mode
         nn = npad // g.B
+        RB = min(R, g.RB_MAX)
+        nr = R // RB
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
-        spec_a = pl.BlockSpec((R, kp), lambda j: (0, 0),
+        spec_a = pl.BlockSpec((RB, kp), lambda j, r: (r, 0),
                               memory_space=pltpu.VMEM)
-        spec_b = pl.BlockSpec((kp, g.B), lambda j: (0, j),
+        spec_b = pl.BlockSpec((kp, g.B), lambda j, r: (0, j),
                               memory_space=pltpu.VMEM)
-        spec_o = pl.BlockSpec((R, g.B), lambda j: (0, j),
+        spec_o = pl.BlockSpec((1, RB, g.B), lambda j, r: (j, r, 0),
                               memory_space=pltpu.VMEM)
-        kern = functools.partial(g._gemv_kernel, R)
+        kern = functools.partial(g._gemv_kernel, RB)
 
         def call(ah, al, bh, bl):
             with jax.enable_x64(False):
                 return pl.pallas_call(
-                    kern, grid=(nn,),
+                    kern, grid=(nn, nr),
                     in_specs=[spec_a, spec_a, spec_b, spec_b],
                     out_specs=(spec_o, spec_o),
-                    out_shape=(jax.ShapeDtypeStruct((R, npad), jnp.float32),
-                               jax.ShapeDtypeStruct((R, npad), jnp.float32)),
+                    out_shape=(jax.ShapeDtypeStruct(
+                        (nn, nr * RB, g.B), jnp.float32),) * 2,
                     interpret=True,
                 )(ah, al, bh, bl)
 
