@@ -78,6 +78,19 @@ def _pow2_above(m):
     return jnp.where(m > 0.0, s, 1.0)
 
 
+def _pow2_half(d):
+    """Exact power of two ~ sqrt(|d|) (f32, elementwise, bit tricks).
+
+    For |d| in [2^2k, 2^2k+2) returns 2^k; inputs are clamped-away-from-
+    zero pivots (|d| >= 1e-30), so the result is a normal float."""
+    bits = jax.lax.bitcast_convert_type(jnp.abs(d), jnp.int32)
+    ex = jax.lax.shift_right_logical(bits, 23) & 255     # biased exp
+    half = jax.lax.shift_right_arithmetic(ex - 127, 1) + 127
+    half = jnp.clip(half, 1, 254)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(half, 23), jnp.float32)
+
+
 def _chunks_scaled(xh, xl, axis):
     """(hi, lo) f32 -> (chunks[6] bf16, scale) along reduction ``axis``.
 
@@ -115,20 +128,31 @@ def ds_matmul(ah, al, bh, bl, transpose_b: bool = False):
         dn = (((1,), (0,)), ((), ()))
         sb_out = sb
 
+    cat_axis = 1 if transpose_b else 0
+    # same-level partials share a grid; a PAIR of them sums exactly in
+    # f32 (2 * 128 * 2^16 <= 2^24), so concatenate pairs along the
+    # contraction axis and let one MXU dot produce the exact pair sum —
+    # ~half the dots and TwoSum folds of one-per-partial.  Beyond
+    # K = 128 a pair may exceed 2^24: fall back to one dot per partial.
+    gsz = 2 if ah.shape[1] <= 128 else 1
     sh = None
     sl = None
-    for lvl in range(_NLEVEL):
-        for s in range(min(_NCHUNK, lvl + 1)):
-            t = lvl - s
-            if t >= _NCHUNK:
-                continue
+    for pairs in _LEVEL_PAIRS:
+        for g in range(0, len(pairs), gsz):
+            grp = pairs[g:g + gsz]
+            if len(grp) == 1:
+                A, Bc = a[grp[0][0]], b[grp[0][1]]
+            else:
+                A = jnp.concatenate([a[s] for s, _ in grp], axis=1)
+                Bc = jnp.concatenate([b[t] for _, t in grp],
+                                     axis=cat_axis)
             # explicit DEFAULT precision: an ambient
             # default_matmul_precision("highest") context (kkt.py wraps
             # its solves in one) would otherwise ask Mosaic for a
             # multi-pass bf16x6 algorithm on ALREADY-bf16 operands,
             # which it rejects ("Bad lhs type"); the chunk products are
             # exact in one pass by construction
-            p = jax.lax.dot_general(a[s], b[t], dn,
+            p = jax.lax.dot_general(A, Bc, dn,
                                     precision=jax.lax.Precision.DEFAULT,
                                     preferred_element_type=jnp.float32)
             if sh is None:
@@ -192,6 +216,173 @@ def _leaf_eliminate(Mh, Ml):
     return (Lh, Ll), (dh, dl), (Xh, Xl)
 
 
+# ----------------- blocked-panel leaf elimination (the fast variant) ---
+# The plain leaf loop above costs 128 sequential steps x ~82 vector ops
+# at (B, B) = 16 vregs each — measured as the saturation wall of the
+# whole benchmark (VPU-bound).  The blocked variant runs the sequential
+# rank-1 arithmetic on a (P, B) panel row-slice (P = 16 -> 2 vregs per
+# op) and defers the trailing-matrix and inverse updates to one small-K
+# chunked MXU product per panel.  For K = P = 16 the per-level
+# concatenated bf16 dots are EXACT (<= 7 partials x 16 * 2^16 < 2^23),
+# so each panel GEMM folds with just _NLEVEL TwoSums instead of one per
+# partial.  Same elimination order and double-single arithmetic as the
+# plain loop — only the schedule changes.
+
+P_LEAF = 16
+_UNROLL_INNER = False
+_LEVEL_PAIRS = tuple(
+    tuple((s, lvl - s) for s in range(min(_NCHUNK, lvl + 1))
+          if lvl - s < _NCHUNK)
+    for lvl in range(_NLEVEL))
+
+
+def _panel_dots(a_chunks, b_chunks, row_lo):
+    """Sum_j a[j, i] * b[j, c] for the double-single chunk lists, rows
+    ``i >= row_lo`` only.  Returns (hi, lo) f32 of shape (B - row_lo, B).
+    Per-level concatenated dots are exact for contraction depth P<=32;
+    the <= _NLEVEL level sums fold with TwoSum."""
+    sh = sl = None
+    dn = (((0,), (0,)), ((), ()))
+    for pairs in _LEVEL_PAIRS:
+        A = jnp.concatenate([a_chunks[s] for s, _ in pairs], axis=0)
+        Bc = jnp.concatenate([b_chunks[t] for _, t in pairs], axis=0)
+        p = jax.lax.dot_general(A, Bc, dn,
+                                precision=jax.lax.Precision.DEFAULT,
+                                preferred_element_type=jnp.float32)
+        p = p[row_lo:]
+        if sh is None:
+            sh, sl = p, jnp.zeros_like(p)
+        else:
+            sh, e = _two_sum(sh, p)
+            sl = sl + e
+    return _quick_renorm(sh, sl)
+
+
+def _leaf_eliminate_blocked(Mh, Ml):
+    """(B, B) double-single symmetric block -> (d, Linv), double-single.
+
+    Blocked-panel reorganization of _leaf_eliminate (identical
+    elimination order and pivot clamp); L itself is not materialized
+    (the band kernel never uses it)."""
+    NP = B // P_LEAF
+    P = P_LEAF
+    colv = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    prow = lax.broadcasted_iota(jnp.int32, (P, B), 0)
+    pcol = lax.broadcasted_iota(jnp.int32, (P, B), 1)
+    eye_bb = (lax.broadcasted_iota(jnp.int32, (B, B), 0)
+              == lax.broadcasted_iota(jnp.int32, (B, B), 1))
+    tiny = jnp.float32(1e-30)
+
+    Xh = eye_bb.astype(jnp.float32)
+    Xl = jnp.zeros((B, B), jnp.float32)
+    dvh = jnp.zeros((1, B), jnp.float32)
+    dvl = jnp.zeros((1, B), jnp.float32)
+
+    for p in range(NP):
+        q = p * P
+        psel = (pcol - prow) == q      # [r, c] : c == q + r
+
+        def body(jj, carry, q=q, psel=psel):
+            Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl = carry
+            j = q + jj
+            rmask = prow == jj
+            cjh = jnp.sum(jnp.where(rmask, Pth, 0.0), axis=0,
+                          keepdims=True)
+            cjl = jnp.sum(jnp.where(rmask, Ptl, 0.0), axis=0,
+                          keepdims=True)
+            cmask = colv == j
+            djh = jnp.sum(jnp.where(cmask, cjh, 0.0))
+            djl = jnp.sum(jnp.where(cmask, cjl, 0.0))
+            djh = jnp.where(jnp.abs(djh) < tiny,
+                            jnp.where(djh < 0, -tiny, tiny), djh)
+            lh, ll = ds_div(cjh, cjl, jnp.broadcast_to(djh, (1, B)),
+                            jnp.broadcast_to(djl, (1, B)))
+            below = colv > j
+            lh = jnp.where(below, lh, 0.0)
+            ll = jnp.where(below, ll, 0.0)
+            # panel-rows part of the multiplier column, as (P, 1)
+            lph = jnp.sum(jnp.where(psel, jnp.broadcast_to(lh, (P, B)),
+                                    0.0), axis=1, keepdims=True)
+            lpl = jnp.sum(jnp.where(psel, jnp.broadcast_to(ll, (P, B)),
+                                    0.0), axis=1, keepdims=True)
+            # panel slice of the rank-1 update: Pt -= lp (d * l)^T
+            ldh, ldl = ds_mul(lh, ll, jnp.broadcast_to(djh, (1, B)),
+                              jnp.broadcast_to(djl, (1, B)))
+            uh, ul = ds_outer(lph, lpl, ldh, ldl)
+            Pth, Ptl = ds_add(Pth, Ptl, -uh, -ul)
+            # within-panel inverse rows: W -= lp * W[jj, :]
+            wjh = jnp.sum(jnp.where(rmask, Wph, 0.0), axis=0,
+                          keepdims=True)
+            wjl = jnp.sum(jnp.where(rmask, Wpl, 0.0), axis=0,
+                          keepdims=True)
+            sh, sl = ds_outer(lph, lpl, wjh, wjl)
+            Wph, Wpl = ds_add(Wph, Wpl, -sh, -sl)
+            Lth = jnp.where(rmask, jnp.broadcast_to(lh, (P, B)), Lth)
+            Ltl = jnp.where(rmask, jnp.broadcast_to(ll, (P, B)), Ltl)
+            dvh = jnp.where(cmask, djh, dvh)
+            dvl = jnp.where(cmask, djl, dvl)
+            return Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl
+
+        z_pb = jnp.zeros((P, B), jnp.float32)
+        carry = (Mh[q:q + P], Ml[q:q + P], Xh[q:q + P], Xl[q:q + P],
+                 z_pb, z_pb, dvh, dvl)
+        if _UNROLL_INNER:
+            for jj in range(P):
+                carry = body(np.int32(jj), carry)
+            (_, _, Wph, Wpl, Lth, Ltl, dvh, dvl) = carry
+        else:
+            (_, _, Wph, Wpl, Lth, Ltl, dvh, dvl) = _fori32(P, body, carry)
+
+        t0 = q + P
+        if t0 >= B:
+            Xh = jnp.concatenate([Xh[:q], Wph], axis=0)
+            Xl = jnp.concatenate([Xl[:q], Wpl], axis=0)
+            break
+        # panel pivots as a (P, 1) column
+        dpch = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvh, (P, B)),
+                                 0.0), axis=1, keepdims=True)
+        dpcl = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvl, (P, B)),
+                                 0.0), axis=1, keepdims=True)
+        # sqrt(|d|)-balance the GEMM operands with an EXACT power of two
+        # (value unchanged: e * (d/e^2) * e == d).  The chunk scheme's
+        # truncation is 2^-56 below max_j|a[j,i]| * max_j|b[j,c]|, with
+        # the maxes possibly at DIFFERENT j; the balanced operands
+        # e_j Lt[j,:] are the Cholesky-like factor whose magnitudes are
+        # comparable across j, which keeps that product close to the
+        # actual term size — measured to recover ~5 digits of factor
+        # accuracy on wide-spread quasidefinite diagonals.
+        e = _pow2_half(dpch)
+        einv = 1.0 / e
+        m2h = dpch * einv * einv      # exact power-of-two scalings
+        m2l = dpcl * einv * einv
+        Leh, Lel = Lth * e, Ltl * e
+        ldh, ldl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (P, B)),
+                          jnp.broadcast_to(m2l, (P, B)))
+        # shared a-operand: balanced Lt panel chunks; row scale as
+        # (T, 1) via the masked-identity transpose of the (1, B) scale
+        a, sa = _chunks_scaled(Leh, Lel, axis=0)
+        saT = jnp.sum(jnp.where(eye_bb, jnp.broadcast_to(sa, (B, B)),
+                                0.0), axis=1, keepdims=True)[t0:]
+        bU, sbU = _chunks_scaled(ldh, ldl, axis=0)
+        bX, sbX = _chunks_scaled(Wph * einv, Wpl * einv, axis=0)
+        # trailing Schur update: M[t0:] -= Lt^T (d * Lt)
+        uh, ul = _panel_dots(a, bU, t0)
+        sc = saT * sbU
+        Mth, Mtl = ds_add(Mh[t0:], Ml[t0:], -uh * sc, -ul * sc)
+        Mh = jnp.concatenate([Mh[:t0], Mth], axis=0)
+        Ml = jnp.concatenate([Ml[:t0], Mtl], axis=0)
+        # inverse rows: panel rows get W; rows below subtract Lt^T W
+        uh, ul = _panel_dots(a, bX, t0)
+        sc = saT * sbX
+        Xth, Xtl = ds_add(Xh[t0:], Xl[t0:], -uh * sc, -ul * sc)
+        head_h = [Xh[:q]] if q else []
+        head_l = [Xl[:q]] if q else []
+        Xh = jnp.concatenate(head_h + [Wph, Xth], axis=0)
+        Xl = jnp.concatenate(head_l + [Wpl, Xtl], axis=0)
+
+    return (dvh, dvl), (Xh, Xl)
+
+
 # ------------------------------------------------- factor kernel (bwb=1)
 # Grid = one step per block row; scratch VMEM carries Dinv_{k-1}/d_{k-1}
 # across grid steps (TPU grid programs run sequentially).  Row-blocked
@@ -228,12 +419,20 @@ def _band_factor_kernel(kdh_ref, kdl_ref, ksh_ref, ksl_ref,
     ph, plo = ds_matmul(Ksh, Ksl, c_dih[...], c_dil[...], transpose_b=True)
     Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (B, B)),
                     jnp.broadcast_to(dpl, (B, B)))
-    # Schur: Kkk -= (L * d) L^T
-    sh, sl = ds_mul(Lh, Ll, jnp.broadcast_to(dph, (B, B)),
-                    jnp.broadcast_to(dpl, (B, B)))
-    uh, ul = ds_matmul(sh, sl, Lh, Ll, transpose_b=True)
+    # Schur: Kkk -= (L * d) L^T, with the operands sqrt(|d|)-balanced by
+    # an exact power of two (see _leaf_eliminate_blocked: keeps the
+    # chunk scheme's scale-relative truncation near the true term size)
+    e = _pow2_half(dph)
+    einv = 1.0 / e
+    m2h = dph * einv * einv
+    m2l = dpl * einv * einv
+    Leh = Lh * e
+    Lel = Ll * e
+    sh, sl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (B, B)),
+                    jnp.broadcast_to(m2l, (B, B)))
+    uh, ul = ds_matmul(sh, sl, Leh, Lel, transpose_b=True)
     Mh, Ml = ds_add(Kdh, Kdl, -uh, -ul)
-    (_, _), (dh, dl), (Xh, Xl) = _leaf_eliminate(Mh, Ml)
+    (dh, dl), (Xh, Xl) = _leaf_eliminate_blocked(Mh, Ml)
     _wr(lbh_ref, Lh)
     _wr(lbl_ref, Ll)
     _wr(dih_ref, Xh)
@@ -298,7 +497,10 @@ def band_factor_ds(Kdiag, Ksub, interpret: bool = False):
 
 # ------------------------------------------------- solve kernels (bwb=1)
 # RHS layout: (nb, KP, B) — x^T in block-row-major, KP padded rhs rows.
-KP = 16  # padded RHS-column tile (bf16 sublane tile is 16)
+# (KP = 8 was measured identical to 16 on hardware — the bf16 chunk ops
+# pad to 16 sublanes either way and the solve kernels are dominated by
+# chunking the (B, B) factor operands, so KP stays at the bf16 tile.)
+KP = 16
 
 
 def _fwd_kernel(lbh_ref, lbl_ref, dih_ref, dil_ref, dh_ref, dl_ref,
