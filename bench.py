@@ -62,7 +62,9 @@ BATCH = 128         # max lanes per compiled batch (auto-shrinks on OOM).
                     # the 56-bit double-single kernels (throughput
                     # saturates ~14.5 solves/s from 128 up — the factor
                     # kernel's per-lane VPU leaf work is the wall)
-ROUNDS = 3          # timed batches; total solves = batch * ROUNDS
+ROUNDS = 5          # timed batches; total solves = batch * ROUNDS
+                    # (run-to-run variance through the axon tunnel was
+                    # measured at +-20% with 3 rounds; 5 tightens it)
 BASELINE_PROBES = 12
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
                               "baselines", "highs_baseline.json")

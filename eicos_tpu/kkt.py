@@ -107,6 +107,12 @@ class KKTContext(NamedTuple):
     sAT: object = None   # x @ A.T
     sGe: object = None   # x @ G[:me]   (eliminated rows)
     sGeT: object = None  # x @ G[:me].T
+    # fused stacks: one kernel launch instead of two per residual
+    # (refinement bodies run 4 big products each; stacking halves the
+    # per-product call + operand-chunking overhead — measured in the
+    # round-2 trace as a first-order cost of the IPM iteration)
+    sGA: object = None   # [z | y] @ [G; A]        -> G'z + A'y terms
+    sAGT: object = None  # x @ [A.T | G.T]         -> (A x | G x)
 
 
 def _oz_mm(sliced, a, bmat):
@@ -130,7 +136,11 @@ def _make_sliced(G, A, me: int):
     p = A.shape[0]
     out = dict(sG=BigOperand(G), sGT=BigOperand(G.T))
     if p:
-        out.update(sA=BigOperand(A), sAT=BigOperand(A.T))
+        out.update(sA=BigOperand(A), sAT=BigOperand(A.T),
+                   sGA=BigOperand(jnp.concatenate([G, A], axis=0)),
+                   sAGT=BigOperand(jnp.concatenate([A.T, G.T], axis=1)))
+    else:
+        out.update(sGA=out["sG"], sAGT=out["sGT"])
     if me == m:
         out.update(sGe=out["sG"], sGeT=out["sGT"])
     elif me:
@@ -222,13 +232,16 @@ def _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype, settings):
 
 
 @functools.lru_cache(maxsize=32)
-def _band_gather_split(n: int, p: int, Dp: int, perm: tuple):
+def _band_gather_split(n: int, p: int, Dp: int, perm: tuple,
+                       bwb: int = 1):
     """Like _band_gather_idx, but split by source: a mask + index into
     the PER-LANE H.ravel(), and an index into the SHARED
     [A.ravel() | (-delta, 0, 1)] flat — so under vmap the shared part
     is gathered once, not concatenated into a per-lane buffer (at 128
-    lanes the concat cost ~1 GB of HBM writes per iteration)."""
-    idx_diag, idx_sub = _band_gather_idx(n, p, Dp, perm)
+    lanes the concat cost ~1 GB of HBM writes per iteration).
+
+    Returns (diag_split, [sub_split_1 .. sub_split_bwb])."""
+    idx_diag, idx_subs = _band_gather_idx(n, p, Dp, perm, bwb)
     base_A = n * n
 
     def split(idx):
@@ -238,13 +251,60 @@ def _band_gather_split(n: int, p: int, Dp: int, perm: tuple):
         # numpy, NOT jnp: cached values must not be tracers
         return from_h, ih, io
 
-    return split(np.asarray(idx_diag, np.int64)), split(
-        np.asarray(idx_sub, np.int64))
+    return (split(np.asarray(idx_diag, np.int64)),
+            [split(np.asarray(s, np.int64)) for s in idx_subs])
 
 
 @functools.lru_cache(maxsize=32)
-def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple):
-    """Static index maps: permuted block-tridiagonal blocks -> positions
+def _band_scatter_idx(n: int, p: int, Dp: int, perm: tuple,
+                      sing_cols: tuple, spr_cols: tuple, spr_width: int,
+                      soc_cols: tuple = (), soc_width: int = 0):
+    """Static targets scattering H = G'W^{-2}G + delta*I contributions
+    STRAIGHT into the (nb, B, B) band diag/sub blocks — the dense
+    (n, n) H is never materialized (it cost ~18 MB per lane per
+    iteration in HBM traffic; the band blocks hold every H nonzero by
+    construction of the RCM plan).
+
+    Returns int32 positions into a flat [diag | sub | dump] buffer of
+    size 2*nb*B*B + 1 for the concatenated per-lane value vector
+    [spr_vals (n_spr*w*w) | sing_vals (n_sing) | delta_diag (n) |
+    soc_vals (n_sc*ws*ws, structure.SOCSplit contributions)];
+    contributions landing above the band (the transposed sub block) or
+    on a padding column go to the dump slot."""
+    perm_a = np.asarray(perm)
+    iperm = np.empty_like(perm_a)
+    iperm[perm_a] = np.arange(len(perm_a))
+    nb = Dp // 128
+    nbb = nb * 128 * 128
+    dump = 2 * nbb
+
+    def pos(i, j):
+        # i, j: original H coordinates (arrays); n marks a padding col
+        pi = iperm[np.minimum(i, n - 1)]
+        pj = iperm[np.minimum(j, n - 1)]
+        bi, bj = pi // 128, pj // 128
+        flat = (bi * 128 + pi % 128) * 128 + pj % 128
+        out = np.where(bi == bj, flat,
+                       np.where(bi == bj + 1, nbb + flat, dump))
+        return np.where((i >= n) | (j >= n), dump, out)
+
+    parts = []
+    if spr_width:
+        cols2 = np.asarray(spr_cols, np.int64).reshape(-1, spr_width)
+        parts.append(pos(cols2[:, :, None], cols2[:, None, :]).ravel())
+    sc = np.asarray(sing_cols, np.int64)
+    if sc.size:
+        parts.append(pos(sc, sc))
+    parts.append(pos(np.arange(n), np.arange(n)))
+    if soc_width and len(soc_cols):
+        colsS = np.asarray(soc_cols, np.int64).reshape(-1, soc_width)
+        parts.append(pos(colsS[:, :, None], colsS[:, None, :]).ravel())
+    return np.concatenate(parts).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple, bwb: int = 1):
+    """Static index maps: permuted block-banded blocks -> positions
     in flat [H.ravel() | A.ravel() | (-delta, 0, 1)] source.
 
     K = [[H, A'], [A, -delta I]] (normal-equations elimination; the
@@ -273,15 +333,73 @@ def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple):
 
     nb = Dp // 128
     idx_diag = np.empty((nb, 128, 128), np.int32)
-    idx_sub = np.full((nb, 128, 128), c_zero, np.int32)
+    idx_subs = [np.full((nb, 128, 128), c_zero, np.int32)
+                for _ in range(bwb)]
     for k in range(nb):
         rows = perm[k * 128:(k + 1) * 128]
         idx_diag[k] = src_block(rows, rows)
-        if k:
-            idx_sub[k] = src_block(rows, perm[(k - 1) * 128:k * 128])
+        for j in range(1, bwb + 1):
+            if k >= j:
+                idx_subs[j - 1][k] = src_block(
+                    rows, perm[(k - j) * 128:(k - j + 1) * 128])
     # numpy, NOT jnp: the lru_cache outlives any single trace, and a
     # cached tracer would leak into the next jit trace
-    return idx_diag, idx_sub
+    return idx_diag, idx_subs
+
+
+def _soc_band_vals(st: ProblemStructure, Gf, scal_f, delta, fdtype):
+    """Per-cone H contributions for the direct band scatter:
+    Gq' (W^2 + dI)^{-1} Gq = b Gq'Gq - b^2 [v1 v2] Minv [v1 v2]'
+    with v1 = Gq' e, v2 = Gq' q — the closed form of
+    cones.scale2reg_inv_soc applied to G's per-cone column support
+    (structure.SOCSplit).  Returns (n_sc, w, w) values matching
+    _band_scatter_idx's soc part."""
+    cone = st.cone
+    scs = st.socsplit
+    n, m, l = st.n, st.m, st.l
+    n_sc, ms = cone.n_sc, cone.ms
+    w = scs.width
+    dmax = max(cone.q)
+    colsS = np.asarray(scs.cols, np.int64).reshape(n_sc, w)
+    # padded (cone, within-cone) -> SOC-part offset map (pad -> ms)
+    qidx = np.full((n_sc, dmax), ms, np.int64)
+    offs = cone.head_offsets
+    for c in range(n_sc):
+        qidx[c, :cone.q[c]] = offs[c] + np.arange(cone.q[c])
+    # zero-padded G (extra row AND column absorb the pads)
+    Gpad = jnp.zeros((m + 1, n + 1), fdtype).at[:m, :n].set(Gf)
+    Gsub = Gpad[jnp.asarray(l + qidx)[:, :, None],
+                jnp.asarray(colsS)[:, None, :]]    # (n_sc, dmax, w)
+    with jax.default_matmul_precision("highest"):
+        gram = jnp.einsum("cdw,cdv->cwv", Gsub, Gsub)
+    if scal_f is None:
+        return gram * jnp.asarray(1.0 / (1.0 + delta), fdtype)
+    qflat_pad = jnp.concatenate(
+        [scal_f.q_flat, jnp.zeros((1,), fdtype)])
+    qpad = qflat_pad[jnp.asarray(qidx)]            # (n_sc, dmax)
+    v1 = Gsub[:, 0, :]                             # head row of Gq
+    with jax.default_matmul_precision("highest"):
+        v2 = jnp.einsum("cd,cdw->cw", qpad, Gsub)
+    b = 1.0 / (scal_f.eta2 + delta)
+    # same 2x2 M as cones.scale2reg_inv_soc
+    c11 = scal_f.eta2 * (2.0 * scal_f.w)
+    c12 = scal_f.eta2 * scal_f.cc
+    c22 = scal_f.eta2 * scal_f.dd
+    detC = c11 * c22 - c12 * c12
+    m11 = c22 / detC + b
+    m12 = -c12 / detC
+    m22 = c11 / detC + b * scal_f.w
+    detM = m11 * m22 - m12 * m12
+    mi11 = (m22 / detM)[:, None, None]
+    mi12 = (-m12 / detM)[:, None, None]
+    mi22 = (m11 / detM)[:, None, None]
+    o11 = v1[:, :, None] * v1[:, None, :]
+    o12 = (v1[:, :, None] * v2[:, None, :]
+           + v2[:, :, None] * v1[:, None, :])
+    o22 = v2[:, :, None] * v2[:, None, :]
+    corr = mi11 * o11 + mi12 * o12 + mi22 * o22
+    b1 = b[:, None, None]
+    return b1 * gram - b1 * b1 * corr
 
 
 def factor(st: ProblemStructure, ctx: KKTContext,
@@ -342,6 +460,30 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 return jax.vmap(lambda col: cones.scale2reg_inv(
                     st.cone, scal_f, delta, col))(v)
 
+        # hoisted kernel-path decision: the direct band scatter below
+        # needs it before H assembly
+        use_ds = False
+        if settings.kkt_strategy == "banded" and st.band is not None:
+            from .ops.pallas_band_ds import band_ds_available
+            # bwb <= 6: the bw-generalized kernel's L ring buffer is
+            # bw^2 (B, B) ds blocks of VMEM scratch; bw = 8 measured
+            # 1.7 MB over the 16 MB scoped budget.  Wider bands fall
+            # back to the XLA-scan band_ldl path.
+            use_ds = (1 <= st.band.bwb <= 6 and st.band.block == 128
+                      and fdtype == jnp.float64
+                      and settings.pallas_leaf in ("on", "auto")
+                      and band_ds_available())
+        # when every eliminated row is a singleton/scatter LP row, the
+        # H contributions scatter STRAIGHT into the band blocks and the
+        # dense per-lane (n, n) H is never built (it dominated the
+        # non-factor HBM traffic of an iteration at batch 128, and its
+        # per-lane footprint was the SOCP lane's OOM at 128 lanes)
+        direct_band = (use_ds and st.band.bwb == 1 and me == m
+                       and st.gsplit is not None
+                       and not st.gsplit.dense_rows
+                       and (st.gsplit.n_sing or st.gsplit.n_spr)
+                       and (st.n_sc == 0 or st.socsplit is not None))
+        band_vals = None
         if me:
             split = st.gsplit
             if split is not None and (split.n_sing or split.n_spr):
@@ -359,9 +501,30 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 scol = np.asarray(split.sing_cols)
                 dense_lp = np.asarray(split.dense_rows, dtype=np.int64)
                 coef = Gf[sing, scol]
-                hdiag = jnp.zeros((n,), fdtype).at[scol].add(
-                    coef * coef * winv_lp[sing])
-                if split.n_spr:
+                if direct_band:
+                    # values for the band-block scatter, ordered to
+                    # match _band_scatter_idx: [spr | sing | delta I]
+                    vals = []
+                    if split.n_spr:
+                        w = split.spr_width
+                        spr = np.asarray(split.spr_rows)
+                        cols2 = np.asarray(split.spr_cols,
+                                           dtype=np.int64).reshape(-1, w)
+                        Gpad = jnp.concatenate(
+                            [Gf, jnp.zeros((m, 1), fdtype)], axis=1)
+                        C = Gpad[spr[:, None], cols2]        # (n_spr, w)
+                        P = (C[:, :, None] * C[:, None, :]
+                             * winv_lp[spr][:, None, None])
+                        vals.append(P.ravel())
+                    if sing.size:
+                        vals.append(coef * coef * winv_lp[sing])
+                    vals.append(jnp.full((n,), delta, fdtype))
+                    if st.n_sc:
+                        vals.append(_soc_band_vals(
+                            st, Gf, scal_f, delta, fdtype).ravel())
+                    band_vals = jnp.concatenate(vals)
+                    H = None
+                elif split.n_spr:
                     w = split.spr_width
                     spr = np.asarray(split.spr_rows)
                     cols2 = np.asarray(split.spr_cols,
@@ -378,25 +541,28 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                           .reshape(n + 1, n + 1)[:n, :n])
                 else:
                     Hs = 0.0
-                Gd_lp = Gf[dense_lp]
-                WiGd_lp = Gd_lp * winv_lp[dense_lp][:, None]
-                if st.n_sc and not keep_soc:
-                    G_soc = Gf[l:]
-                    if scal is None:
-                        WiG_soc = G_soc * jnp.asarray(
-                            1.0 / (1.0 + delta), fdtype)
+                if not direct_band:
+                    hdiag = jnp.zeros((n,), fdtype).at[scol].add(
+                        coef * coef * winv_lp[sing])
+                    Gd_lp = Gf[dense_lp]
+                    WiGd_lp = Gd_lp * winv_lp[dense_lp][:, None]
+                    if st.n_sc and not keep_soc:
+                        G_soc = Gf[l:]
+                        if scal is None:
+                            WiG_soc = G_soc * jnp.asarray(
+                                1.0 / (1.0 + delta), fdtype)
+                        else:
+                            WiG_soc = jax.vmap(
+                                lambda col: cones.scale2reg_inv_soc(
+                                    st.cone, scal_f, delta, col))(G_soc.T).T
+                        Gd = jnp.concatenate([Gd_lp, G_soc])
+                        WiGd = jnp.concatenate([WiGd_lp, WiG_soc])
                     else:
-                        WiG_soc = jax.vmap(
-                            lambda col: cones.scale2reg_inv_soc(
-                                st.cone, scal_f, delta, col))(G_soc.T).T
-                    Gd = jnp.concatenate([Gd_lp, G_soc])
-                    WiGd = jnp.concatenate([WiGd_lp, WiG_soc])
-                else:
-                    Gd, WiGd = Gd_lp, WiGd_lp
-                with jax.default_matmul_precision("highest"):
-                    H = (Gd.T @ WiGd if Gd.shape[0]
-                         else jnp.zeros((n, n), fdtype))
-                    H = H + Hs + jnp.diag(hdiag + delta)
+                        Gd, WiGd = Gd_lp, WiGd_lp
+                    with jax.default_matmul_precision("highest"):
+                        H = (Gd.T @ WiGd if Gd.shape[0]
+                             else jnp.zeros((n, n), fdtype))
+                        H = H + Hs + jnp.diag(hdiag + delta)
             else:
                 if (st.n_sc == 0 or keep_soc) and scal is not None:
                     # diagonal eliminated block: scale rows of G directly
@@ -426,31 +592,53 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             perm = np.asarray(plan.perm)
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(len(perm))
-            use_ds = (plan.bwb == 1 and plan.block == 128
-                      and fdtype == jnp.float64
-                      and settings.pallas_leaf in ("on", "auto")
-                      and band_ds_available())
             if use_ds:
-                # block-tridiagonal: whole factor + each solve fused into
-                # double-single Pallas kernels (ops/pallas_band_ds.py) —
-                # no float64 matmuls (which lower to chunked while-loop
-                # emulations) anywhere in the hot path.  The permuted
-                # band blocks are GATHERED straight out of H/A via
-                # static index maps — the dense (Dp, Dp) K is never
-                # materialized (doing so cost ~4 full-matrix copies per
-                # iteration and capped the batch size).
-                (dmask, dih, dio), (smask, sih, sio) = _band_gather_split(
-                    n, p, Dp, tuple(int(v) for v in perm))
-                Hflat = H.reshape(-1)
+                # whole factor + each solve fused into double-single
+                # Pallas kernels (ops/pallas_band_ds.py) — no float64
+                # matmuls (which lower to chunked while-loop emulations)
+                # anywhere in the hot path.  The permuted band blocks
+                # are GATHERED straight out of H/A via static index maps
+                # — the dense (Dp, Dp) K is never materialized (doing so
+                # cost ~4 full-matrix copies per iteration and capped
+                # the batch size).
+                bwb = plan.bwb
+                (dmask, dih, dio), subs = _band_gather_split(
+                    n, p, Dp, tuple(int(v) for v in perm), bwb)
+                (smask, sih, sio) = subs[0]
                 other = jnp.concatenate([
                     (ctx.A.astype(fdtype).reshape(-1) if p
                      else jnp.zeros((0,), fdtype)),
                     jnp.asarray([-delta, 0.0, 1.0], fdtype)])
 
-                def gather(mask, ih, io):
-                    # per-lane part from H, shared part from [A|consts]
-                    # — keeps the shared data out of per-lane buffers
-                    return jnp.where(mask, Hflat[ih], other[io])
+                if direct_band:
+                    # H contributions scatter straight into the band
+                    # blocks (per-lane, ~n_spr*w^2 + n_sing + n values);
+                    # the shared [A | consts] base is gathered once
+                    # (unbatched under vmap)
+                    nbb = (Dp // 128) * 128 * 128
+                    idx = _band_scatter_idx(
+                        n, p, Dp, tuple(int(v) for v in perm),
+                        st.gsplit.sing_cols, st.gsplit.spr_cols,
+                        st.gsplit.spr_width,
+                        st.socsplit.cols if st.n_sc else (),
+                        st.socsplit.width if st.n_sc else 0)
+                    buf = (jnp.zeros((2 * nbb + 1,), fdtype)
+                           .at[jnp.asarray(idx)].add(band_vals))
+                    Kd = (jnp.where(dmask, 0.0, other[dio])
+                          + buf[:nbb].reshape(-1, 128, 128))
+                    Ks = (jnp.where(smask, 0.0, other[sio])
+                          + buf[nbb:2 * nbb].reshape(-1, 128, 128))
+                else:
+                    Hflat = H.reshape(-1)
+
+                    def gather(mask, ih, io):
+                        # per-lane part from H, shared part from
+                        # [A|consts] — keeps the shared data out of
+                        # per-lane buffers
+                        return jnp.where(mask, Hflat[ih], other[io])
+
+                    Kd = gather(dmask, dih, dio)
+                    Ks = gather(smask, sih, sio)
 
                 # NOTE: symmetric Jacobi pre-scaling was tried here and
                 # made things much worse (56/128 NUMERICS lanes): the
@@ -458,15 +646,24 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 # natural magnitude ordering of the quasidefinite
                 # diagonal; normalizing it trades benign scaling for
                 # real elimination growth.
-                dsfac = band_factor_ds(gather(dmask, dih, dio),
-                                       gather(smask, sih, sio))
+                if bwb == 1:
+                    dsfac = band_factor_ds(Kd, Ks)
+                    band_solve = band_solve_ds
+                else:
+                    from .ops.pallas_band_ds import (band_factor_ds_bw,
+                                                     band_solve_ds_bw)
+                    Ksubs = jnp.stack(
+                        [Ks] + [gather(*subs[j]) for j in range(1, bwb)],
+                        axis=1)
+                    dsfac = band_factor_ds_bw(Kd, Ksubs)
+                    band_solve = band_solve_ds_bw
 
                 def padded_solve(rr):
                     k = rr.shape[1]
                     assert k <= KP, (k, KP)
                     rhs_t = (jnp.zeros((KP, Dp), rr.dtype)
                              .at[:k].set(rr[perm].T))
-                    out = band_solve_ds(dsfac, rhs_t)
+                    out = band_solve(dsfac, rhs_t)
                     return out[:k].T[iperm]
             else:
                 K = _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype,
@@ -591,17 +788,30 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
 
     def residual(dx, dy, dz):
         # ex = bx - G'dz - A'dy - d*dx   (:1514-1521)
-        ex = bx - (_oz_mm(ctx.sG, dz, G) if m else 0.0) - delta * dx
-        if p:
-            ex = ex - _oz_mm(ctx.sA, dy, A)
         # ey = by - A dx + d*dy          (:1524-1531)
-        ey = (by - _oz_mm(ctx.sAT, dx, A.T) + delta * dy) if p else by
         # ez = bz - G dx + W^2 dz (+ d*dz on the full operator)
-        if m:
+        # On the kernel path the two pairs of big products run as ONE
+        # fused launch each over the stacked operands [G; A] and
+        # [A.T | G.T]; the CPU fallback keeps the original per-matrix
+        # orientation (knife-edge certificates are decided by its f64
+        # rounding path — see solver.py computeResiduals note).
+        if m and p and ctx.sGA is not None:
+            ex = bx - ctx.sGA.rmatmul(
+                jnp.concatenate([dz, dy], axis=1)) - delta * dx
+            axgx = ctx.sAGT.rmatmul(dx)
+            ey = by - axgx[:, :p] + delta * dy
             Wdz = dz if scale2_rows is None else scale2_rows(dz)
-            ez = bz - _oz_mm(ctx.sGT, dx, G.T) + Wdz + dz_reg * dz
+            ez = bz - axgx[:, p:] + Wdz + dz_reg * dz
         else:
-            ez = bz
+            ex = bx - (_oz_mm(ctx.sG, dz, G) if m else 0.0) - delta * dx
+            if p:
+                ex = ex - _oz_mm(ctx.sA, dy, A)
+            ey = (by - _oz_mm(ctx.sAT, dx, A.T) + delta * dy) if p else by
+            if m:
+                Wdz = dz if scale2_rows is None else scale2_rows(dz)
+                ez = bz - _oz_mm(ctx.sGT, dx, G.T) + Wdz + dz_reg * dz
+            else:
+                ez = bz
         nerr = (jnp.max(jnp.abs(ex), axis=1) if n
                 else jnp.zeros((K,), f64))
         if m:

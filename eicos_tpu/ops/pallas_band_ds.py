@@ -608,6 +608,292 @@ def band_solve_ds(fac, rhs_t, interpret: bool = False):
     return z.transpose(1, 0, 2).reshape(KP, D)
 
 
+# --------------------------------------------- factor kernel (bwb 2..8)
+# Generalization of the bwb == 1 kernel for the wider bands RCM gives on
+# LPnetlib shapes (3-8 blocks).  Block row k's elimination touches the
+# previous bw rows' leaf inverses AND off-diagonal L blocks, carried in
+# VMEM ring buffers indexed (row mod bw); every product is the same
+# sqrt|d|-balanced chunk GEMM as the bwb == 1 path.  Specialized per bw
+# at trace time (static Python loops).  Single-lane VMEM at bw = 8 is
+# ~11 MB — LPnetlib solves are single-lane; the vmapped MPC path stays
+# on the bwb == 1 kernel.
+
+
+def _bal_sub(Mh, Ml, Lah, Lal, Lbh, Lbl, dh, dl):
+    """M - (La * d) Lb^T with sqrt|d|-balanced chunk operands; d (1, B)
+    enters along the contraction (lane) axis of both L factors."""
+    e = _pow2_half(dh)
+    einv = 1.0 / e
+    m2h = dh * einv * einv
+    m2l = dl * einv * einv
+    Laeh, Lael = Lah * e, Lal * e
+    Lbeh, Lbel = Lbh * e, Lbl * e
+    sh, sl = ds_mul(Laeh, Lael, jnp.broadcast_to(m2h, Laeh.shape),
+                    jnp.broadcast_to(m2l, Laeh.shape))
+    uh, ul = ds_matmul(sh, sl, Lbeh, Lbel, transpose_b=True)
+    return ds_add(Mh, Ml, -uh, -ul)
+
+
+def _make_band_factor_bw(bw: int, nb: int):
+    def kern(kdh_ref, kdl_ref, ksh_ref, ksl_ref,
+             lbh_ref, lbl_ref, dih_ref, dil_ref, dh_ref, dl_ref,
+             c_xh, c_xl, c_dh, c_dl, c_lh, c_ll):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _init():
+            c_xh[...] = jnp.zeros_like(c_xh)
+            c_xl[...] = jnp.zeros_like(c_xl)
+            c_dh[...] = jnp.ones_like(c_dh)
+            c_dl[...] = jnp.zeros_like(c_dl)
+            c_lh[...] = jnp.zeros_like(c_lh)
+            c_ll[...] = jnp.zeros_like(c_ll)
+
+        def slot(q):
+            # ring slot of row k - q; rows < 0 resolve to slots still
+            # holding the zero/identity init (depth bw guarantees it)
+            return jnp.mod(k - q + np.int32(2 * bw * nb), np.int32(bw))
+
+        def ring_d(q):
+            s = slot(q)
+            return (c_dh[pl.ds(s * 8, 8), :][0:1],
+                    c_dl[pl.ds(s * 8, 8), :][0:1])
+
+        # L blocks go straight to the output ref and are RE-READ for
+        # later corrections — keeping all bw of them live as values
+        # overflowed Mosaic's scoped-vmem stack at bw = 8
+        for j in range(bw, 0, -1):
+            Sh = ksh_ref[0, j - 1]
+            Sl = ksl_ref[0, j - 1]
+            for q in range(j + 1, bw + 1):
+                # S -= L[k, k-q] d_{k-q} L[k-j, k-q]^T
+                off = (slot(j) * np.int32(bw) + np.int32(q - j - 1)) * B
+                Lrjh = c_lh[pl.ds(off, B), :]
+                Lrjl = c_ll[pl.ds(off, B), :]
+                dqh, dql = ring_d(q)
+                Sh, Sl = _bal_sub(Sh, Sl, lbh_ref[0, q - 1],
+                                  lbl_ref[0, q - 1], Lrjh, Lrjl,
+                                  dqh, dql)
+            sj = slot(j)
+            Xjh = c_xh[pl.ds(sj * B, B), :]
+            Xjl = c_xl[pl.ds(sj * B, B), :]
+            djh, djl = ring_d(j)
+            ph, plo = ds_matmul(Sh, Sl, Xjh, Xjl, transpose_b=True)
+            Ljh, Ljl = ds_div(ph, plo, jnp.broadcast_to(djh, (B, B)),
+                              jnp.broadcast_to(djl, (B, B)))
+            lbh_ref[0, j - 1] = Ljh
+            lbl_ref[0, j - 1] = Ljl
+        Mh = kdh_ref[0]
+        Ml = kdl_ref[0]
+        for q in range(1, bw + 1):
+            dqh, dql = ring_d(q)
+            Lqh = lbh_ref[0, q - 1]
+            Lql = lbl_ref[0, q - 1]
+            Mh, Ml = _bal_sub(Mh, Ml, Lqh, Lql, Lqh, Lql, dqh, dql)
+        (dh, dl), (Xh, Xl) = _leaf_eliminate_blocked(Mh, Ml)
+        _wr(dih_ref, Xh)
+        _wr(dil_ref, Xl)
+        _wr(dh_ref, jnp.broadcast_to(dh, (8, B)))
+        _wr(dl_ref, jnp.broadcast_to(dl, (8, B)))
+        s0 = jnp.mod(k, np.int32(bw))
+        c_xh[pl.ds(s0 * B, B), :] = Xh
+        c_xl[pl.ds(s0 * B, B), :] = Xl
+        c_dh[pl.ds(s0 * 8, 8), :] = jnp.broadcast_to(dh, (8, B))
+        c_dl[pl.ds(s0 * 8, 8), :] = jnp.broadcast_to(dl, (8, B))
+        for j in range(1, bw + 1):
+            off = (s0 * np.int32(bw) + np.int32(j - 1)) * B
+            c_lh[pl.ds(off, B), :] = lbh_ref[0, j - 1]
+            c_ll[pl.ds(off, B), :] = lbl_ref[0, j - 1]
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_factor_ds_bw(Kdiag, Ksubs, interpret: bool = False):
+    """Double-single banded factor for block bandwidth 2..6
+    (the bw^2-block VMEM L ring exceeds the 16 MB scoped budget at 8).
+
+    ``Kdiag``: (nb, B, B) float64 diagonal blocks; ``Ksubs``:
+    (nb, bw, B, B) float64 with Ksubs[k, j-1] = K[k, k-j] (rows k < j
+    ignored, pass zeros).  Returns float32 pairs
+    ``(Lh, Ll, Dinvh, Dinvl, dh, dl)`` with shapes (nb, bw, B, B) x2,
+    (nb, B, B) x2 and (nb, 8, B) x2."""
+    nb, bw = Ksubs.shape[0], Ksubs.shape[1]
+    assert Kdiag.shape == (nb, B, B) and Ksubs.shape == (nb, bw, B, B)
+    assert 2 <= bw <= 6 and Kdiag.dtype == jnp.float64
+
+    def split(x):
+        hi = x.astype(jnp.float32)
+        return hi, (x - hi.astype(jnp.float64)).astype(jnp.float32)
+
+    kdh, kdl = split(Kdiag)
+    ksh, ksl = split(Ksubs)
+    spec_bb = pl.BlockSpec((1, B, B), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_sub = pl.BlockSpec((1, bw, B, B), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _make_band_factor_bw(bw, nb),
+            grid=(nb,),
+            in_specs=[spec_bb, spec_bb, spec_sub, spec_sub],
+            out_specs=(spec_sub, spec_sub, spec_bb, spec_bb,
+                       spec_d, spec_d),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, bw, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, bw, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bw * B, B), jnp.float32),
+                pltpu.VMEM((bw * B, B), jnp.float32),
+                pltpu.VMEM((bw * 8, B), jnp.float32),
+                pltpu.VMEM((bw * 8, B), jnp.float32),
+                pltpu.VMEM((bw * bw * B, B), jnp.float32),
+                pltpu.VMEM((bw * bw * B, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(kdh, kdl, ksh, ksl)
+
+
+def _make_fwd_bw(bw: int, nb: int):
+    def kern(lbh_ref, lbl_ref, dih_ref, dil_ref, dh_ref, dl_ref,
+             xh_ref, xl_ref, wh_ref, wl_ref, c_yh, c_yl):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _init():
+            c_yh[...] = jnp.zeros_like(c_yh)
+            c_yl[...] = jnp.zeros_like(c_yl)
+
+        ah, al = _rd(xh_ref), _rd(xl_ref)
+        for j in range(1, bw + 1):
+            s = jnp.mod(k - j + np.int32(2 * bw * nb), np.int32(bw))
+            yjh = c_yh[pl.ds(s * KP, KP), :]
+            yjl = c_yl[pl.ds(s * KP, KP), :]
+            Ljh = lbh_ref[0, j - 1]
+            Ljl = lbl_ref[0, j - 1]
+            th, tl = ds_matmul(yjh, yjl, Ljh, Ljl, transpose_b=True)
+            ah, al = ds_add(ah, al, -th, -tl)
+        Dih, Dil = _rd(dih_ref), _rd(dil_ref)
+        yh, yl = ds_matmul(ah, al, Dih, Dil, transpose_b=True)
+        dh = _rd(dh_ref)[0:1]
+        dl = _rd(dl_ref)[0:1]
+        wh, wl = ds_div(yh, yl, jnp.broadcast_to(dh, (KP, B)),
+                        jnp.broadcast_to(dl, (KP, B)))
+        _wr(wh_ref, wh)
+        _wr(wl_ref, wl)
+        s0 = jnp.mod(k, np.int32(bw))
+        c_yh[pl.ds(s0 * KP, KP), :] = yh
+        c_yl[pl.ds(s0 * KP, KP), :] = yl
+
+    return kern
+
+
+def _make_bwd_bw(bw: int, nb: int):
+    def kern(lbh_ref, lbl_ref, dih_ref, dil_ref, wh_ref, wl_ref,
+             zh_ref, zl_ref, c_zh, c_zl, c_lh, c_ll):
+        i = pl.program_id(0)
+        k = np.int32(nb - 1) - i
+
+        @pl.when(i == 0)
+        def _init():
+            c_zh[...] = jnp.zeros_like(c_zh)
+            c_zl[...] = jnp.zeros_like(c_zl)
+            c_lh[...] = jnp.zeros_like(c_lh)
+            c_ll[...] = jnp.zeros_like(c_ll)
+
+        ah, al = _rd(wh_ref), _rd(wl_ref)
+        for j in range(1, bw + 1):
+            # z_{k+j} and L[k+j, k] (dist j), from the rings
+            s = jnp.mod(k + j, np.int32(bw))
+            zjh = c_zh[pl.ds(s * KP, KP), :]
+            zjl = c_zl[pl.ds(s * KP, KP), :]
+            off = (s * np.int32(bw) + np.int32(j - 1)) * B
+            Ljh = c_lh[pl.ds(off, B), :]
+            Ljl = c_ll[pl.ds(off, B), :]
+            th, tl = ds_matmul(zjh, zjl, Ljh, Ljl)
+            ah, al = ds_add(ah, al, -th, -tl)
+        Dih, Dil = _rd(dih_ref), _rd(dil_ref)
+        zh, zl = ds_matmul(ah, al, Dih, Dil)
+        _wr(zh_ref, zh)
+        _wr(zl_ref, zl)
+        s0 = jnp.mod(k, np.int32(bw))
+        c_zh[pl.ds(s0 * KP, KP), :] = zh
+        c_zl[pl.ds(s0 * KP, KP), :] = zl
+        for j in range(1, bw + 1):
+            off = (s0 * np.int32(bw) + np.int32(j - 1)) * B
+            c_lh[pl.ds(off, B), :] = lbh_ref[0, j - 1]
+            c_ll[pl.ds(off, B), :] = lbl_ref[0, j - 1]
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_solve_ds_bw(fac, rhs_t, interpret: bool = False):
+    """Solve K x = rhs with the bw > 1 double-single banded factor.
+
+    ``fac``: output tuple of band_factor_ds_bw.  ``rhs_t``: (KP, D)
+    float64 transposed right-hand sides.  Returns (KP, D) float64."""
+    Lh, Ll, Dih, Dil, dh, dl = fac
+    nb, bw = Lh.shape[0], Lh.shape[1]
+    D = nb * B
+    assert rhs_t.shape == (KP, D), rhs_t.shape
+
+    xh = rhs_t.astype(jnp.float32)
+    xl = (rhs_t - xh.astype(jnp.float64)).astype(jnp.float32)
+
+    def tob(v):
+        return v.reshape(KP, nb, B).transpose(1, 0, 2)
+
+    xh, xl = tob(xh), tob(xl)
+    spec_bb = pl.BlockSpec((1, B, B), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_sub = pl.BlockSpec((1, bw, B, B), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_x = pl.BlockSpec((1, KP, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rspec_bb = pl.BlockSpec((1, B, B), lambda i: (nb - 1 - i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    rspec_sub = pl.BlockSpec((1, bw, B, B),
+                             lambda i: (nb - 1 - i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    rspec_x = pl.BlockSpec((1, KP, B), lambda i: (nb - 1 - i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_sh = (jax.ShapeDtypeStruct((nb, KP, B), jnp.float32),) * 2
+    arb = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    with jax.enable_x64(False):
+        wh, wl = pl.pallas_call(
+            _make_fwd_bw(bw, nb), grid=(nb,),
+            in_specs=[spec_sub] * 2 + [spec_bb] * 2 + [spec_d] * 2
+            + [spec_x] * 2,
+            out_specs=(spec_x, spec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((bw * KP, B), jnp.float32)] * 2,
+            compiler_params=arb,
+            interpret=interpret,
+        )(Lh, Ll, Dih, Dil, dh, dl, xh, xl)
+        zh, zl = pl.pallas_call(
+            _make_bwd_bw(bw, nb), grid=(nb,),
+            in_specs=[rspec_sub] * 2 + [rspec_bb] * 2 + [rspec_x] * 2,
+            out_specs=(rspec_x, rspec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((bw * KP, B), jnp.float32)] * 2
+            + [pltpu.VMEM((bw * bw * B, B), jnp.float32)] * 2,
+            compiler_params=arb,
+            interpret=interpret,
+        )(Lh, Ll, Dih, Dil, wh, wl)
+    z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
+    return z.transpose(1, 0, 2).reshape(KP, D)
+
+
 def band_ds_available() -> bool:
     if not _HAS_PALLAS:
         return False

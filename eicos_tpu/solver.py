@@ -282,24 +282,30 @@ def solve(structure: ProblemStructure, data: ProblemData,
         # x @ A.T): the reduction order changes the f64 rounding path,
         # and knife-edge certificates (unboundedMaxSqrt) are decided by
         # it — measured: the transposed form flips DINF to NUMERICS
-        rx_h = (-ctx.sG.rmatmul(w.z) if ctx.sG is not None
-                else -(w.z @ G))
-        if p:
-            rx_h = rx_h - (ctx.sA.rmatmul(w.y) if ctx.sA is not None
-                           else w.y @ A)
+        if p and ctx.sGA is not None:
+            # fused stacks: [z | y] @ [G; A] and x @ [A.T | G.T] — two
+            # kernel launches instead of four (ops/pallas_gemm_ds)
+            rx_h = -ctx.sGA.rmatmul(jnp.concatenate([w.z, w.y]))
+            axgx = ctx.sAGT.rmatmul(w.x)
+            ry_h = axgx[:p]
+            rz_h = w.s + axgx[p:]
+        else:
+            rx_h = (-ctx.sG.rmatmul(w.z) if ctx.sG is not None
+                    else -(w.z @ G))
+            if p:
+                rx_h = rx_h - (ctx.sA.rmatmul(w.y) if ctx.sA is not None
+                               else w.y @ A)
+            if p:
+                ry_h = (ctx.sAT.rmatmul(w.x) if ctx.sAT is not None
+                        else A @ w.x)
+            else:
+                ry_h = jnp.zeros((0,), f64)
+            rz_h = w.s + ((ctx.sGT.rmatmul(w.x) if ctx.sGT is not None
+                           else G @ w.x) if m else jnp.zeros((0,), f64))
         hresx = _norm(rx_h)
         rx = rx_h - w.tau * c
-
-        if p:
-            ry_h = (ctx.sAT.rmatmul(w.x) if ctx.sAT is not None
-                    else A @ w.x)
-        else:
-            ry_h = jnp.zeros((0,), f64)
         hresy = _norm(ry_h)
         ry = ry_h - w.tau * b
-
-        rz_h = w.s + ((ctx.sGT.rmatmul(w.x) if ctx.sGT is not None
-                       else G @ w.x) if m else jnp.zeros((0,), f64))
         hresz = _norm(rz_h)
         rz = rz_h - w.tau * h
 

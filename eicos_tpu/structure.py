@@ -156,6 +156,52 @@ class GSplit:
 
 
 @dataclasses.dataclass(frozen=True)
+class SOCSplit:
+    """Static per-cone column support of G's SOC rows.
+
+    A cone q touching columns J contributes
+    ``Gq' (W^2 + dI)^{-1} Gq = b Gq'Gq - b^2 [v1 v2] Minv [v1 v2]'``
+    (the closed form of cones.scale2reg_inv_soc with v1 = Gq' e,
+    v2 = Gq' q) — entirely supported on J x J.  When every cone's
+    support is narrow (|J| <= WIDTH_MAX), the banded KKT strategy
+    scatters these values straight into the band blocks and the SOC
+    share of the dense H GEMM disappears, exactly like GSplit does for
+    LP scatter rows.  Pattern-static; coefficients stay traced."""
+
+    cols: tuple   # (n_sc * width,) flattened per-cone columns, pad = n
+    width: int
+
+    WIDTH_MAX = 8
+
+    @staticmethod
+    def from_dense(G, cone: ConeStructure, n: int = None):
+        """None if any cone's column support exceeds WIDTH_MAX."""
+        if not cone.n_sc:
+            return None
+        G = np.asarray(G)
+        n = G.shape[1] if n is None else n
+        Gs = G[cone.l:]
+        offs = cone.head_offsets
+        supports = []
+        for c in range(cone.n_sc):
+            rows = Gs[offs[c]:offs[c] + cone.q[c]]
+            cols = np.flatnonzero(np.any(rows != 0, axis=0))
+            if cols.size > SOCSplit.WIDTH_MAX:
+                return None
+            supports.append(cols)
+        width = max(max((len(c) for c in supports), default=1), 1)
+        flat = []
+        for cols in supports:
+            flat.extend(int(c) for c in cols)
+            flat.extend([n] * (width - len(cols)))
+        return SOCSplit(cols=tuple(flat), width=width)
+
+    @property
+    def n_sc(self) -> int:
+        return len(self.cols) // max(self.width, 1)
+
+
+@dataclasses.dataclass(frozen=True)
 class ProblemStructure:
     """Full static description: dimensions + cone layout.
 
@@ -176,6 +222,7 @@ class ProblemStructure:
     cone: ConeStructure
     band: object = None    # Optional[plan.BandPlan]
     gsplit: object = None  # Optional[GSplit]
+    socsplit: object = None  # Optional[SOCSplit]
 
     @property
     def m(self) -> int:
@@ -223,6 +270,11 @@ class ProblemStructure:
         by the reduced KKT strategy's H formation).  Only worthwhile when a
         meaningful fraction of LP rows are bound constraints."""
         split = GSplit.from_dense(G, self.l, self.n)
-        if split.n_sing == 0 and split.n_spr == 0:
-            return self
-        return dataclasses.replace(self, gsplit=split)
+        new = self
+        if split.n_sing or split.n_spr:
+            new = dataclasses.replace(new, gsplit=split)
+        if self.n_sc:
+            soc = SOCSplit.from_dense(G, self.cone, self.n)
+            if soc is not None:
+                new = dataclasses.replace(new, socsplit=soc)
+        return new
