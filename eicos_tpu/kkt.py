@@ -748,9 +748,10 @@ class _IRCarry(NamedTuple):
     dx: jax.Array
     dy: jax.Array
     dz: jax.Array
-    rx: jax.Array
-    ry: jax.Array
-    rz: jax.Array
+    ex: jax.Array   # rotated (kernel) path: residual of (dx, dy, dz),
+    ey: jax.Array   # carried into the next trip's corrective solve;
+    ez: jax.Array   # fallback path: the last APPLIED corrections
+    #                 (undo subtracts them)
     nerr_prev: jax.Array
     k: jax.Array
     kout: jax.Array
@@ -825,6 +826,65 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
     nitref = settings.nitref
     irerrfact = settings.irerrfact
 
+    if ctx.sGA is not None:
+        # TPU kernel path — ROTATED loop: the body is solve -> apply ->
+        # residual -> decide, with the first residual evaluated before
+        # the loop.  Semantically equivalent to the reference's
+        # residual-first ordering (the k-th body reproduces the k-th
+        # reference trip's correction count, undo target, weak-progress
+        # comparison, nitref cap, and kout), but the trip on which
+        # every column stops no longer performs a dead corrective
+        # backsolve — one full solve + residual-GEMV set saved per
+        # solve phase at the measured ~4-5 trip counts.  The reordering
+        # changes last-ulp rounding via XLA refusion, which flips undo
+        # comparisons at exact ties; the CPU path below keeps the
+        # residual-first ordering whose rounding the knife-edge
+        # certificate corpus (unboundedMaxSqrt DINF) is pinned to.
+        # The kernel path's rounding already differs from CPU by
+        # construction (double-single kernels), so no pin exists there.
+        ex0, ey0, ez0, nerr0 = residual(dx0, dy0, dz0)
+        done0 = (nerr0 < thresh) | (nitref == 0)
+
+        def body(c: _IRCarry):
+            active = ~c.done
+            am = active[:, None]
+            rx, ry, rz = solve_exact(
+                jnp.concatenate([c.ex, c.ey, c.ez], axis=1))
+            dx1 = jnp.where(am, c.dx + rx, c.dx)
+            dy1 = jnp.where(am, c.dy + ry, c.dy)
+            dz1 = jnp.where(am, c.dz + rz, c.dz)
+            ex, ey, ez, nerr = residual(dx1, dy1, dz1)
+            t = c.k + 1
+            undo = active & (nerr > c.nerr_prev)
+            stop = active & (undo | (t == nitref) | (nerr < thresh)
+                             | (c.nerr_prev < irerrfact * nerr))
+            um = undo[:, None]
+            return _IRCarry(
+                dx=jnp.where(um, c.dx, dx1),
+                dy=jnp.where(um, c.dy, dy1),
+                dz=jnp.where(um, c.dz, dz1),
+                ex=ex, ey=ey, ez=ez,
+                nerr_prev=jnp.where(active, nerr, c.nerr_prev),
+                k=t,
+                kout=jnp.where(active,
+                               jnp.where(undo, t - 1, t), c.kout),
+                done=c.done | stop,
+            )
+
+        init = _IRCarry(
+            dx=dx0, dy=dy0, dz=dz0,
+            ex=ex0, ey=ey0, ez=ez0,
+            nerr_prev=nerr0,
+            k=jnp.asarray(0, jnp.int32),
+            kout=jnp.zeros((K,), jnp.int32),
+            done=done0,
+        )
+        out = lax.while_loop(lambda c: ~jnp.all(c.done), body, init)
+        return KKTSolveResult(dx=out.dx, dy=out.dy, dz=out.dz,
+                              nitref=out.kout)
+
+    # CPU / fallback path: residual-first ordering, bit-for-bit the
+    # rounding sequence the corpus knife-edge certificates are pinned to
     def body(c: _IRCarry):
         ex, ey, ez, nerr = residual(c.dx, c.dy, c.dz)
         active = ~c.done
@@ -840,11 +900,11 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
             corr = jnp.where(advm, corr_new, corr_old)
             return new, corr
 
-        dx, rx_s = step(c.dx, c.dx - c.rx, c.dx + rx, rx, c.rx)
-        dy, ry_s = step(c.dy, c.dy - c.ry, c.dy + ry, ry, c.ry)
-        dz, rz_s = step(c.dz, c.dz - c.rz, c.dz + rz, rz, c.rz)
+        dx, rx_s = step(c.dx, c.dx - c.ex, c.dx + rx, rx, c.ex)
+        dy, ry_s = step(c.dy, c.dy - c.ey, c.dy + ry, ry, c.ey)
+        dz, rz_s = step(c.dz, c.dz - c.ez, c.dz + rz, rz, c.ez)
         return _IRCarry(
-            dx=dx, dy=dy, dz=dz, rx=rx_s, ry=ry_s, rz=rz_s,
+            dx=dx, dy=dy, dz=dz, ex=rx_s, ey=ry_s, ez=rz_s,
             nerr_prev=jnp.where(active, nerr, c.nerr_prev),
             k=c.k + 1,
             kout=jnp.where(active, jnp.where(undo, c.k - 1, c.k), c.kout),
@@ -853,8 +913,8 @@ def solve_refined(st: ProblemStructure, ctx: KKTContext, solve_exact,
 
     init = _IRCarry(
         dx=dx0, dy=dy0, dz=dz0,
-        rx=jnp.zeros_like(dx0), ry=jnp.zeros_like(dy0),
-        rz=jnp.zeros_like(dz0),
+        ex=jnp.zeros_like(dx0), ey=jnp.zeros_like(dy0),
+        ez=jnp.zeros_like(dz0),
         nerr_prev=jnp.full((K,), jnp.inf, f64),
         k=jnp.asarray(0, jnp.int32),
         kout=jnp.zeros((K,), jnp.int32),
