@@ -347,6 +347,37 @@ def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple, bwb: int = 1):
     return idx_diag, idx_subs
 
 
+def _band_scatter_vals(st: ProblemStructure, split, Gf, winv_lp,
+                       scal_f, delta, fdtype):
+    """Per-lane H contributions for the direct band scatter, ordered to
+    match _band_scatter_idx: [spr | sing | delta I | soc]."""
+    n, m = st.n, st.m
+    vals = []
+    if split.n_spr:
+        w = split.spr_width
+        spr = np.asarray(split.spr_rows, dtype=np.int64)
+        cols2 = np.asarray(split.spr_cols,
+                           dtype=np.int64).reshape(-1, w)
+        Gpad = jnp.concatenate(
+            [Gf, jnp.zeros((m, 1), fdtype)], axis=1)
+        C = Gpad[spr[:, None], cols2]                # (n_spr, w)
+        P = (C[:, :, None] * C[:, None, :]
+             * winv_lp[spr][:, None, None])
+        vals.append(P.ravel())
+    if split.n_sing:
+        # explicit int dtype: empty tuples become float64 arrays,
+        # which are invalid advanced indexers (hit on issue98: SOC-only
+        # support with zero singleton rows)
+        sing = np.asarray(split.sing_rows, dtype=np.int64)
+        scol = np.asarray(split.sing_cols, dtype=np.int64)
+        coef = Gf[sing, scol]
+        vals.append(coef * coef * winv_lp[sing])
+    vals.append(jnp.full((n,), delta, fdtype))
+    if st.n_sc:
+        vals.append(_soc_band_vals(st, Gf, scal_f, delta, fdtype).ravel())
+    return jnp.concatenate(vals)
+
+
 def _soc_band_vals(st: ProblemStructure, Gf, scal_f, delta, fdtype):
     """Per-cone H contributions for the direct band scatter:
     Gq' (W^2 + dI)^{-1} Gq = b Gq'Gq - b^2 [v1 v2] Minv [v1 v2]'
@@ -497,36 +528,19 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 # the MPC families that is ZERO rows, removing the
                 # dominant per-iteration GEMM and the HBM spike of XLA's
                 # f64-emulated matmul entirely.
-                sing = np.asarray(split.sing_rows)
-                scol = np.asarray(split.sing_cols)
+                # explicit int dtype: empty tuples otherwise become
+                # float64 arrays, which are invalid advanced indexers
+                sing = np.asarray(split.sing_rows, dtype=np.int64)
+                scol = np.asarray(split.sing_cols, dtype=np.int64)
                 dense_lp = np.asarray(split.dense_rows, dtype=np.int64)
                 coef = Gf[sing, scol]
                 if direct_band:
-                    # values for the band-block scatter, ordered to
-                    # match _band_scatter_idx: [spr | sing | delta I]
-                    vals = []
-                    if split.n_spr:
-                        w = split.spr_width
-                        spr = np.asarray(split.spr_rows)
-                        cols2 = np.asarray(split.spr_cols,
-                                           dtype=np.int64).reshape(-1, w)
-                        Gpad = jnp.concatenate(
-                            [Gf, jnp.zeros((m, 1), fdtype)], axis=1)
-                        C = Gpad[spr[:, None], cols2]        # (n_spr, w)
-                        P = (C[:, :, None] * C[:, None, :]
-                             * winv_lp[spr][:, None, None])
-                        vals.append(P.ravel())
-                    if sing.size:
-                        vals.append(coef * coef * winv_lp[sing])
-                    vals.append(jnp.full((n,), delta, fdtype))
-                    if st.n_sc:
-                        vals.append(_soc_band_vals(
-                            st, Gf, scal_f, delta, fdtype).ravel())
-                    band_vals = jnp.concatenate(vals)
+                    band_vals = _band_scatter_vals(
+                        st, split, Gf, winv_lp, scal_f, delta, fdtype)
                     H = None
                 elif split.n_spr:
                     w = split.spr_width
-                    spr = np.asarray(split.spr_rows)
+                    spr = np.asarray(split.spr_rows, dtype=np.int64)
                     cols2 = np.asarray(split.spr_cols,
                                        dtype=np.int64).reshape(-1, w)
                     Gpad = jnp.concatenate(

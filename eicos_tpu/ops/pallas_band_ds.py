@@ -168,7 +168,9 @@ def ds_matmul(ah, al, bh, bl, transpose_b: bool = False):
 # --------------------------- leaf elimination (inlined, from leaf_ds) --
 def _leaf_eliminate(Mh, Ml):
     """(B, B) double-single symmetric block -> (Lstrict, d, Linv), all
-    double-single.  Same loop as pallas_leaf_ds._leaf_kernel_ds."""
+    double-single.  The original elementwise rank-1 loop — superseded on
+    the hot path by _leaf_eliminate_blocked, kept as the accuracy
+    reference for tests/test_pallas_ds.py::test_blocked_leaf_elimination."""
     row = lax.broadcasted_iota(jnp.int32, (B, B), 0)
     col = lax.broadcasted_iota(jnp.int32, (B, B), 1)
     rowv = lax.broadcasted_iota(jnp.int32, (B, 1), 0)

@@ -134,78 +134,6 @@ def _fori32(n, body, init):
     return lax.while_loop(cond, wbody, (np.int32(0), init))[1]
 
 
-def _leaf_kernel_ds(mh_ref, ml_ref, lh_ref, ll_ref, dh_ref, dl_ref,
-                    xh_ref, xl_ref):
-    """(B, B) symmetric block in double-single -> strict-lower L (hi, lo),
-    pivots d (hi, lo), and the unit-lower inverse X = L^{-1} (hi, lo).
-
-    The inverse is accumulated inside the elimination loop via the
-    product form L^{-1} = (I - l_{n} e_n^T) ... (I - l_1 e_1^T): after
-    column j's multiplier l_j is known, X <- X - l_j * X[j, :] — one more
-    double-single rank-1 per step, replacing the float64-emulated
-    Newton-Schulz matmuls outside the kernel (measured at ~25% of the
-    whole IPM solve wall-clock)."""
-    Mh = mh_ref[0]
-    Ml = ml_ref[0]
-    row = lax.broadcasted_iota(jnp.int32, (B, B), 0)
-    col = lax.broadcasted_iota(jnp.int32, (B, B), 1)
-    rowv = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    colv = lax.broadcasted_iota(jnp.int32, (1, B), 1)
-    eye = (row == col).astype(jnp.float32)
-
-    def body(j, carry):
-        Mh, Ml, Lh, Ll, dh, dl, Xh, Xl = carry
-        cmask = col == j
-        # column j and pivot via masked reductions (exact: one term/row;
-        # pivot extracted from the (B, 1) column, not the full matrix)
-        cjh = jnp.sum(jnp.where(cmask, Mh, 0.0), axis=1, keepdims=True)
-        cjl = jnp.sum(jnp.where(cmask, Ml, 0.0), axis=1, keepdims=True)
-        djh = jnp.sum(jnp.where(rowv == j, cjh, 0.0))
-        djl = jnp.sum(jnp.where(rowv == j, cjl, 0.0))
-        # guard exactly-zero pivots (quasidefinite blocks are nonzero in
-        # exact arithmetic; keep the clamp semantics of _unblocked_ldl)
-        tiny = jnp.float32(1e-30)
-        djh = jnp.where(jnp.abs(djh) < tiny,
-                        jnp.where(djh < 0, -tiny, tiny), djh)
-        lh, ll = ds_div(cjh, cjl, jnp.broadcast_to(djh, (B, 1)),
-                        jnp.broadcast_to(djl, (B, 1)))
-        below = rowv > j
-        lh = jnp.where(below, lh, 0.0)
-        ll = jnp.where(below, ll, 0.0)
-        # rank-1 update: M -= d * l l^T   (double-single throughout)
-        # fold the pivot into the (B, 1) column BEFORE the outer
-        # product ((d*l) l^T == l d l^T), and use the broadcast-aware
-        # ds_outer so splits run at vector shapes
-        ldh, ldl = ds_mul(lh, ll, jnp.broadcast_to(djh, (B, 1)),
-                          jnp.broadcast_to(djl, (B, 1)))
-        uph, upl = ds_outer(ldh, ldl, lh.reshape(1, B), ll.reshape(1, B))
-        Mh, Ml = ds_add(Mh, Ml, -uph, -upl)
-        Lh = jnp.where(cmask, lh, Lh)
-        Ll = jnp.where(cmask, ll, Ll)
-        dh = jnp.where(colv == j, djh, dh)
-        dl = jnp.where(colv == j, djl, dl)
-        # X <- (I - l_j e_j^T) X : subtract l_j * (row j of X)
-        rjh = jnp.sum(jnp.where(row == j, Xh, 0.0), axis=0, keepdims=True)
-        rjl = jnp.sum(jnp.where(row == j, Xl, 0.0), axis=0, keepdims=True)
-        sh, sl = ds_outer(lh, ll, rjh, rjl)
-        Xh, Xl = ds_add(Xh, Xl, -sh, -sl)
-        return Mh, Ml, Lh, Ll, dh, dl, Xh, Xl
-
-    zeros_bb = jnp.zeros((B, B), jnp.float32)
-    zeros_1b = jnp.zeros((1, B), jnp.float32)
-    _, _, Lh, Ll, dh, dl, Xh, Xl = _fori32(
-        B, body, (Mh, Ml, zeros_bb, zeros_bb, zeros_1b, zeros_1b,
-                  eye, zeros_bb))
-
-    lh_ref[0] = Lh
-    ll_ref[0] = Ll
-    # d outputs are (1, 8, B) tiles (TPU min tile is 8x128); row 0 is live
-    dh_ref[0] = jnp.broadcast_to(dh, (8, B))
-    dl_ref[0] = jnp.broadcast_to(dl, (8, B))
-    xh_ref[0] = Xh
-    xl_ref[0] = Xl
-
-
 def _leaf_kernel_ds_blocked(mh_ref, ml_ref, dh_ref, dl_ref,
                             xh_ref, xl_ref):
     """Blocked-panel variant: 16-column panels + small-K chunked MXU

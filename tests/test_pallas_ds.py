@@ -279,83 +279,75 @@ def test_band_scatter_matches_dense_gather():
 
 
 def test_soc_band_scatter_matches_dense():
-    """The SOC extension of the direct band scatter (kkt._soc_band_vals
+    """The SOC extension of the direct band scatter (kkt._band_scatter_vals
     + structure.SOCSplit) reproduces the dense
-    H_soc = G_soc' (W^2+dI)^{-1} G_soc assembly exactly, with a real NT
-    scaling."""
+    H = G' (W^2+dI)^{-1} G + delta I assembly exactly, with a real NT
+    scaling.  Covers both the MPC-SOC family and issue98 (a cone-only
+    support with ZERO singleton rows — regression for the float64
+    empty-indexer crash)."""
+    import pytest
     from eicos_tpu import cones, corpus, kkt
     from eicos_tpu.plan import make_band_plan
     from eicos_tpu.settings import Settings
 
-    st, base = corpus.make_mpc_soc(horizon=12, nx=2, nu=3, seed=4)
-    st = st.with_gsplit(base.G)
-    plan = make_band_plan(st, base.G, base.A)
-    st = st.with_band_plan(plan)
-    assert st.socsplit is not None
-    n, p, m, l = st.n, st.p, st.m, st.l
-    Dp = plan.dim
-    delta = Settings(kkt_strategy="banded").deltastat
-    G = jnp.asarray(np.asarray(base.G))
-    rng = np.random.default_rng(9)
+    for case in ("mpc_soc", "issue98"):
+        if case == "mpc_soc":
+            st, base = corpus.make_mpc_soc(horizon=12, nx=2, nu=3, seed=4)
+        else:
+            st, base, _ = corpus.load("issue98")
+        st = st.with_gsplit(base.G)
+        plan = make_band_plan(st, base.G, base.A)
+        st = st.with_band_plan(plan)
+        if st.socsplit is None or st.gsplit is None:
+            pytest.skip(f"{case}: no scatter support")
+        n, p, m, l = st.n, st.p, st.m, st.l
+        Dp = plan.dim
+        delta = Settings(kkt_strategy="banded").deltastat
+        G = jnp.asarray(np.asarray(base.G))
+        rng = np.random.default_rng(9)
 
-    def interior(msz):
-        x = np.abs(rng.standard_normal(msz)) + 0.5
-        offs = st.cone.head_offsets
-        for c in range(st.cone.n_sc):
-            a = l + int(offs[c])
-            b = a + st.cone.q[c]
-            x[a + 1:b] *= 0.3
-            x[a] = np.linalg.norm(x[a + 1:b]) + 1.0
-        return jnp.asarray(x)
+        def interior(msz):
+            x = np.abs(rng.standard_normal(msz)) + 0.5
+            offs = st.cone.head_offsets
+            for c in range(st.cone.n_sc):
+                a = l + int(offs[c])
+                b = a + st.cone.q[c]
+                x[a + 1:b] *= 0.3
+                x[a] = np.linalg.norm(x[a + 1:b]) + 1.0
+            return jnp.asarray(x)
 
-    scal, _ = cones.update_scalings(st.cone, interior(m), interior(m))
+        scal, _ = cones.update_scalings(st.cone, interior(m), interior(m))
 
-    winv_lp = 1.0 / (np.asarray(scal.v_lp) + delta)
-    Glp = np.asarray(G)[:l]
-    H = Glp.T @ (Glp * winv_lp[:, None]) + delta * np.eye(n)
-    G_soc = G[l:]
-    WiG_soc = jax.vmap(lambda col: cones.scale2reg_inv_soc(
-        st.cone, scal, delta, col))(G_soc.T).T
-    H = H + np.asarray(G_soc.T @ WiG_soc)
+        winv_lp = 1.0 / (np.asarray(scal.v_lp) + delta)
+        Glp = np.asarray(G)[:l]
+        H = Glp.T @ (Glp * winv_lp[:, None]) + delta * np.eye(n)
+        G_soc = G[l:]
+        WiG_soc = jax.vmap(lambda col: cones.scale2reg_inv_soc(
+            st.cone, scal, delta, col))(G_soc.T).T
+        H = H + np.asarray(G_soc.T @ WiG_soc)
 
-    perm = tuple(int(v) for v in plan.perm)
-    (dmask, dih, dio), [(smask, sih, sio)] = kkt._band_gather_split(
-        n, p, Dp, perm)
-    other = np.concatenate([np.asarray(base.A).ravel(),
-                            [-delta, 0.0, 1.0]])
-    Kd_ref = np.where(dmask, H.ravel()[dih], other[dio])
-    Ks_ref = np.where(smask, H.ravel()[sih], other[sio])
+        perm = tuple(int(v) for v in plan.perm)
+        (dmask, dih, dio), [(smask, sih, sio)] = kkt._band_gather_split(
+            n, p, Dp, perm)
+        other = np.concatenate([np.asarray(base.A).ravel(),
+                                [-delta, 0.0, 1.0]])
+        Kd_ref = np.where(dmask, H.ravel()[dih], other[dio])
+        Ks_ref = np.where(smask, H.ravel()[sih], other[sio])
 
-    split = st.gsplit
-    idx = kkt._band_scatter_idx(n, p, Dp, perm, split.sing_cols,
-                                split.spr_cols, split.spr_width,
-                                st.socsplit.cols, st.socsplit.width)
-    vals = []
-    if split.n_spr:
-        w = split.spr_width
-        spr = np.asarray(split.spr_rows)
-        cols2 = np.asarray(split.spr_cols, np.int64).reshape(-1, w)
-        Gpad = np.concatenate([np.asarray(G), np.zeros((m, 1))], axis=1)
-        C = Gpad[spr[:, None], cols2]
-        vals.append((C[:, :, None] * C[:, None, :]
-                     * winv_lp[spr][:, None, None]).ravel())
-    sing = np.asarray(split.sing_rows)
-    scol = np.asarray(split.sing_cols)
-    if sing.size:
-        coef = np.asarray(G)[sing, scol]
-        vals.append(coef * coef * winv_lp[sing])
-    vals.append(np.full(n, delta))
-    vals.append(np.asarray(kkt._soc_band_vals(
-        st, G, scal, delta, jnp.float64)).ravel())
-    vals = np.concatenate(vals)
-    assert len(vals) == len(idx)
-    nbb = (Dp // 128) * 128 * 128
-    buf = np.zeros(2 * nbb + 1)
-    np.add.at(buf, idx, vals)
-    Kd = (np.where(dmask, 0.0, other[dio])
-          + buf[:nbb].reshape(-1, 128, 128))
-    Ks = (np.where(smask, 0.0, other[sio])
-          + buf[nbb:2 * nbb].reshape(-1, 128, 128))
-    scale = max(1.0, np.abs(Kd_ref).max())
-    assert np.abs(Kd - Kd_ref).max() < 1e-10 * scale
-    assert np.abs(Ks - Ks_ref).max() < 1e-10
+        split = st.gsplit
+        idx = kkt._band_scatter_idx(n, p, Dp, perm, split.sing_cols,
+                                    split.spr_cols, split.spr_width,
+                                    st.socsplit.cols, st.socsplit.width)
+        vals = np.asarray(kkt._band_scatter_vals(
+            st, split, G, jnp.asarray(winv_lp), scal, delta, jnp.float64))
+        assert len(vals) == len(idx), case
+        nbb = (Dp // 128) * 128 * 128
+        buf = np.zeros(2 * nbb + 1)
+        np.add.at(buf, idx, vals)
+        Kd = (np.where(dmask, 0.0, other[dio])
+              + buf[:nbb].reshape(-1, 128, 128))
+        Ks = (np.where(smask, 0.0, other[sio])
+              + buf[nbb:2 * nbb].reshape(-1, 128, 128))
+        scale = max(1.0, np.abs(Kd_ref).max())
+        assert np.abs(Kd - Kd_ref).max() < 1e-10 * scale, case
+        assert np.abs(Ks - Ks_ref).max() < 1e-10, case
