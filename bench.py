@@ -118,7 +118,10 @@ def measure_tpu(st, batch, shared, factor_dtype="float64"):
                 raise
             nb //= 2
             print(f"batch {nb * 2} OOM, retrying at {nb}", file=sys.stderr)
-    n_ok = int(np.sum((codes == 0) | (codes == 10)))
+    # STRICT: only true OPTIMAL (code 0) counts — CLOSE_TO_OPTIMAL
+    # (code 10, the ~1e-4 tier) is a solver failure for benchmarking
+    # purposes and triggers the warning path
+    n_ok = int(np.sum(codes == 0))
     t0 = time.time()
     for _ in range(ROUNDS):
         sols = bs.solve(sub)
@@ -138,7 +141,14 @@ def build_socp_batch():
     rng = np.random.default_rng(11)
     st, base = corpus.make_mpc_soc(horizon=HORIZON, nx=NX, nu=NU, seed=5)
     st = st.with_gsplit(base.G)
-    st = st.with_band_plan(make_band_plan(st, base.G, base.A))
+    # keep_soc: the SOC blocks stay in the banded factor in NT-scaled
+    # form (plan.BandPlan docstring) — eliminating them squares the
+    # cone conditioning and stalled every lane at ~1e-4 (exit 10);
+    # keeping them unscaled hit ~1/delta elimination growth that broke
+    # the double-single kernels at the endgame.  Scaled, every lane
+    # reaches true 1e-8 OPTIMAL (exit 0), measured 16/16.
+    st = st.with_band_plan(make_band_plan(st, base.G, base.A,
+                                          keep_soc=True))
     probs = []
     for _ in range(BATCH):
         c = np.asarray(base.c) + 0.02 * rng.standard_normal(st.n)

@@ -151,6 +151,30 @@ def scale(st: ConeStructure, scal: Scaling, z):
     return jnp.concatenate([lam_lp, lam_s])
 
 
+def scale_winv_soc(st: ConeStructure, scal: Scaling, x_s):
+    """y = W^{-1} x on the (ms,) SOC segment only.
+
+    By the J-symmetry of the normalized NT point (a^2 - w = 1),
+    Wbar^{-1} = [a -q'; -q I + qq'/(1+a)] — ``scale``'s SOC branch with
+    q -> -q and eta -> 1/eta.  Used by the banded keep_soc strategy's
+    NT-scaled kept block (kkt._soc_scaled_kept_vals): the factor solves
+    S K S u = S b with S = diag(W^{-1}, I, I), so the kept-row RHS and
+    solution are both W^{-1}-transformed.
+    """
+    if not st.n_sc:
+        return x_s
+    x0 = _heads(st, x_s)
+    zeta = _seg_sum(st, scal.q_flat * x_s)
+    factor = x0 - zeta / (1.0 + scal.a)
+    inv_eta = 1.0 / scal.eta
+    head_val = inv_eta * (scal.a * x0 - zeta)
+    return jnp.where(
+        np.asarray(st.is_head),
+        _expand(st, head_val),
+        _expand(st, inv_eta) * (x_s - _expand(st, factor) * scal.q_flat),
+    )
+
+
 def scale2(st: ConeStructure, scal: Scaling, x):
     """y = W^2 x using the unexpanded closed form (module docstring).
 

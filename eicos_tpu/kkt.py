@@ -149,9 +149,16 @@ def _make_sliced(G, A, me: int):
 
 
 def _keep_soc(st: ProblemStructure, settings) -> bool:
-    """"reduced" keeps SOC blocks in the factor (partial elimination);
-    "normal"/"banded" eliminate everything."""
-    return settings.kkt_strategy == "reduced" and st.n_sc > 0
+    """"reduced" keeps SOC blocks in the factor (partial elimination),
+    as does "banded" when its plan was built with keep_soc=True (the
+    certificate-safe, endgame-accurate conic layout); "normal" (and a
+    banded plan without keep_soc) eliminate everything."""
+    if st.n_sc == 0:
+        return False
+    if settings.kkt_strategy == "reduced":
+        return True
+    return (settings.kkt_strategy == "banded" and st.band is not None
+            and getattr(st.band, "keep_soc", False))
 
 
 def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
@@ -233,7 +240,7 @@ def _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype, settings):
 
 @functools.lru_cache(maxsize=32)
 def _band_gather_split(n: int, p: int, Dp: int, perm: tuple,
-                       bwb: int = 1):
+                       bwb: int = 1, ms: int = 0):
     """Like _band_gather_idx, but split by source: a mask + index into
     the PER-LANE H.ravel(), and an index into the SHARED
     [A.ravel() | (-delta, 0, 1)] flat — so under vmap the shared part
@@ -241,7 +248,7 @@ def _band_gather_split(n: int, p: int, Dp: int, perm: tuple,
     lanes the concat cost ~1 GB of HBM writes per iteration).
 
     Returns (diag_split, [sub_split_1 .. sub_split_bwb])."""
-    idx_diag, idx_subs = _band_gather_idx(n, p, Dp, perm, bwb)
+    idx_diag, idx_subs = _band_gather_idx(n, p, Dp, perm, bwb, ms)
     base_A = n * n
 
     def split(idx):
@@ -258,7 +265,8 @@ def _band_gather_split(n: int, p: int, Dp: int, perm: tuple,
 @functools.lru_cache(maxsize=32)
 def _band_scatter_idx(n: int, p: int, Dp: int, perm: tuple,
                       sing_cols: tuple, spr_cols: tuple, spr_width: int,
-                      soc_cols: tuple = (), soc_width: int = 0):
+                      soc_cols: tuple = (), soc_width: int = 0,
+                      keep_q: tuple = ()):
     """Static targets scattering H = G'W^{-2}G + delta*I contributions
     STRAIGHT into the (nb, B, B) band diag/sub blocks — the dense
     (n, n) H is never materialized (it cost ~18 MB per lane per
@@ -268,25 +276,42 @@ def _band_scatter_idx(n: int, p: int, Dp: int, perm: tuple,
     Returns int32 positions into a flat [diag | sub | dump] buffer of
     size 2*nb*B*B + 1 for the concatenated per-lane value vector
     [spr_vals (n_spr*w*w) | sing_vals (n_sing) | delta_diag (n) |
-    soc_vals (n_sc*ws*ws, structure.SOCSplit contributions)];
-    contributions landing above the band (the transposed sub block) or
-    on a padding column go to the dump slot."""
+    soc part]; contributions landing above the band (the transposed sub
+    block) or on a padding column go to the dump slot.
+
+    The soc part is either the H contributions on the SOCSplit column
+    supports (eliminating layout: soc_cols/soc_width) or, with
+    ``keep_q`` (the cone dims tuple of a keep_soc plan), the NT-SCALED
+    kept layout: per-cone -(I + delta W^-2) blocks at the z_soc
+    coordinates plus the W^-1 Gsoc coupling blocks (both orientations)
+    on the SOCSplit supports (x coordinates shift by ms = sum(keep_q)).
+    The scaled layout bounds the unpivoted elimination growth by
+    ~1/(2 sqrt(delta)) where the raw -(W^2+dI) block hits ~1/delta when
+    cone eigenvalues collapse below delta near convergence (measured:
+    2.9e7 vs 8.4e2 on the bench SOCP endgame, which broke the 2^-48
+    double-single factor kernels while exact f64 survived)."""
     perm_a = np.asarray(perm)
     iperm = np.empty_like(perm_a)
     iperm[perm_a] = np.arange(len(perm_a))
     nb = Dp // 128
     nbb = nb * 128 * 128
     dump = 2 * nbb
+    ms = int(sum(keep_q))
 
-    def pos(i, j):
-        # i, j: original H coordinates (arrays); n marks a padding col
-        pi = iperm[np.minimum(i, n - 1)]
-        pj = iperm[np.minimum(j, n - 1)]
+    def gpos(gi, gj, bad):
+        # gi, gj: GLOBAL KKT coordinates (arrays); bad marks pads
+        pi = iperm[np.minimum(gi, len(perm_a) - 1)]
+        pj = iperm[np.minimum(gj, len(perm_a) - 1)]
         bi, bj = pi // 128, pj // 128
         flat = (bi * 128 + pi % 128) * 128 + pj % 128
         out = np.where(bi == bj, flat,
                        np.where(bi == bj + 1, nbb + flat, dump))
-        return np.where((i >= n) | (j >= n), dump, out)
+        return np.where(bad, dump, out)
+
+    def pos(i, j):
+        # i, j: original H (x-block) coordinates; n marks a padding col
+        return gpos(ms + np.minimum(i, n - 1), ms + np.minimum(j, n - 1),
+                    (i >= n) | (j >= n))
 
     parts = []
     if spr_width:
@@ -296,38 +321,70 @@ def _band_scatter_idx(n: int, p: int, Dp: int, perm: tuple,
     if sc.size:
         parts.append(pos(sc, sc))
     parts.append(pos(np.arange(n), np.arange(n)))
-    if soc_width and len(soc_cols):
+    if ms:
+        q = np.asarray(keep_q, np.int64)
+        dmax = int(q.max())
+        offs = np.concatenate([[0], np.cumsum(q)[:-1]])
+        aidx = offs[:, None] + np.arange(dmax)[None, :]
+        bad1 = np.arange(dmax)[None, :] >= q[:, None]    # (n_sc, dmax)
+        zi = np.minimum(aidx, ms - 1)
+        parts.append(gpos(
+            zi[:, :, None], zi[:, None, :],
+            bad1[:, :, None] | bad1[:, None, :]).ravel())
+        # W^-1 Gsoc coupling on the per-cone supports, both orientations
+        # (whichever lands in the stored diag/sub band survives; the
+        # transposed-above-band copy goes to the dump slot)
+        assert soc_width and len(soc_cols), (
+            "keep_soc direct scatter needs structure.SOCSplit")
+        colsS = np.asarray(soc_cols, np.int64).reshape(-1, soc_width)
+        badc = colsS >= n
+        xj = ms + np.minimum(colsS, n - 1)
+        bad2 = bad1[:, :, None] | badc[:, None, :]       # (n_sc, dmax, w)
+        parts.append(gpos(zi[:, :, None], xj[:, None, :], bad2).ravel())
+        parts.append(gpos(xj[:, None, :], zi[:, :, None], bad2).ravel())
+    elif soc_width and len(soc_cols):
         colsS = np.asarray(soc_cols, np.int64).reshape(-1, soc_width)
         parts.append(pos(colsS[:, :, None], colsS[:, None, :]).ravel())
     return np.concatenate(parts).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=32)
-def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple, bwb: int = 1):
-    """Static index maps: permuted block-banded blocks -> positions
-    in flat [H.ravel() | A.ravel() | (-delta, 0, 1)] source.
+def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple, bwb: int = 1,
+                     ms: int = 0):
+    """Static index maps: permuted block-banded blocks -> positions in
+    the flat [H.ravel() | A.ravel() | (-delta, 0, 1)] source.
 
-    K = [[H, A'], [A, -delta I]] (normal-equations elimination; the
-    banded plan covers n + p), padding rows get identity pivots."""
+    ms == 0: K = [[H, A'], [A, -delta I]] over [x | y] (every G row
+    eliminated).  ms > 0 (keep_soc): K = [[Z, C, 0], [C', H, A'],
+    [0, A, -delta I]] over [z_soc | x | y]; the per-lane NT-scaled
+    blocks Z = -(I + delta W^-2) and C = W^-1 Gsoc map to the shared
+    ZERO constant — this layout is only used with the direct band
+    scatter, which adds them per lane (_band_scatter_idx keep_q part).
+    Padding rows get identity pivots."""
     perm = np.asarray(perm)
-    D = n + p
+    D = ms + n + p
     base_A = n * n
     c_negd = base_A + p * n
     c_zero = c_negd + 1
     c_one = c_negd + 2
+    x0, y0 = ms, ms + n
 
     def src_block(ivec, jvec):
         ii = ivec[:, None].astype(np.int64)
         jj = jvec[None, :].astype(np.int64)
+        is_x_i = (ii >= x0) & (ii < y0)
+        is_x_j = (jj >= x0) & (jj < y0)
+        is_y_i = (ii >= y0) & (ii < D)
+        is_y_j = (jj >= y0) & (jj < D)
         out = np.full((len(ivec), len(jvec)), c_zero, np.int64)
-        m = (ii < n) & (jj < n)
-        out = np.where(m, ii * n + jj, out)
-        m = (ii < n) & (jj >= n) & (jj < D)
-        out = np.where(m, base_A + (jj - n) * n + ii, out)
-        m = (ii >= n) & (ii < D) & (jj < n)
-        out = np.where(m, base_A + (ii - n) * n + jj, out)
-        m = (ii == jj) & (ii >= n)
-        out = np.where(m & (ii < D), c_negd, out)
+        out = np.where(is_x_i & is_x_j,
+                       (ii - x0) * n + (jj - x0), out)
+        out = np.where(is_x_i & is_y_j,
+                       base_A + (jj - y0) * n + (ii - x0), out)
+        out = np.where(is_y_i & is_x_j,
+                       base_A + (ii - y0) * n + (jj - x0), out)
+        m = (ii == jj)
+        out = np.where(m & is_y_i, c_negd, out)
         out = np.where(m & (ii >= D), c_one, out)
         return out
 
@@ -347,10 +404,104 @@ def _band_gather_idx(n: int, p: int, Dp: int, perm: tuple, bwb: int = 1):
     return idx_diag, idx_subs
 
 
+@functools.lru_cache(maxsize=32)
+def _soc_pad_maps(q: tuple, ms: int):
+    """Static (n_sc, dmax) pad maps for per-cone block assembly:
+    ``qidx`` maps (cone, slot) -> SOC-segment offset (pad -> ms, so a
+    zero-extended flat array absorbs pads) and ``valid`` marks live
+    slots."""
+    qa = np.asarray(q, np.int64)
+    n_sc = len(qa)
+    dmax = int(qa.max())
+    offs = np.concatenate([[0], np.cumsum(qa)[:-1]])
+    qidx = np.full((n_sc, dmax), ms, np.int64)
+    for c in range(n_sc):
+        qidx[c, :qa[c]] = offs[c] + np.arange(qa[c])
+    valid = np.arange(dmax)[None, :] < qa[:, None]
+    return qidx, valid
+
+
+def _soc_scaled_kept_vals(st: ProblemStructure, scal_f, delta, fdtype):
+    """Per-cone NT-SCALED kept blocks for the keep_soc band scatter:
+    -(I + delta W^-2) as (n_sc, dmax, dmax) padded values.
+
+    W^-2 = eta^-2 [a^2+w, -c q'; -c q, I + d q q'] per cone (the
+    q -> -q, eta -> 1/eta flip of cones.scale2 — see scale2_inv).  The
+    factor solves S K S with S = diag(W^-1, I, I): the kept pivot block
+    is then O(1)-to-(delta/lam_min(W^2))-sized and solidly negative,
+    bounding the unpivoted elimination growth by ~1/(2 sqrt(delta))
+    instead of the raw layout's ~1/delta (kkt._band_scatter_idx doc).
+    Pad rows/columns are zero; their positions go to the dump slot."""
+    cone = st.cone
+    qidx, valid = _soc_pad_maps(cone.q, cone.ms)
+    dmax = qidx.shape[1]
+    eye_v = (np.eye(dmax, dtype=bool)[None]
+             & valid[:, :, None] & valid[:, None, :])
+    eye_v = jnp.asarray(eye_v.astype(np.float64)).astype(fdtype)
+    if scal_f is None:
+        return -(1.0 + delta) * eye_v
+    inv_eta2 = 1.0 / scal_f.eta2
+    diag_flat = jnp.where(
+        np.asarray(cone.is_head),
+        cones._expand(cone, inv_eta2
+                      * (scal_f.a * scal_f.a + scal_f.w)),
+        cones._expand(cone, inv_eta2))
+    dpad = jnp.concatenate([diag_flat, jnp.zeros((1,), fdtype)])[
+        jnp.asarray(qidx)]                               # (n_sc, dmax)
+    qpad = jnp.concatenate([scal_f.q_flat,
+                            jnp.zeros((1,), fdtype)])[jnp.asarray(qidx)]
+    e = jnp.asarray((np.arange(dmax)[None, :] == 0) & valid,
+                    fdtype)                              # head indicator
+    ec = (-inv_eta2 * scal_f.cc)[:, None, None]
+    ed = (inv_eta2 * scal_f.dd)[:, None, None]
+    W2i = (dpad[:, :, None] * jnp.asarray(
+               np.eye(dmax), fdtype)[None]
+           + ec * (e[:, :, None] * qpad[:, None, :]
+                   + qpad[:, :, None] * e[:, None, :])
+           + ed * qpad[:, :, None] * qpad[:, None, :])
+    return -(eye_v + delta * W2i)
+
+
+def _soc_coupling_vals(st: ProblemStructure, Gf, scal_f, fdtype):
+    """Per-cone W^-1 Gsoc coupling blocks for the NT-scaled keep_soc
+    band scatter: (n_sc, dmax, w) on the structure.SOCSplit column
+    supports.  W^-1 = eta^-1 [a, -q'; -q, I + qq'/(1+a)] per cone:
+    head row  = eta^-1 (a g0 - q'G1),
+    tail rows = eta^-1 (G1 - q (g0 - q'G1/(1+a)))."""
+    cone = st.cone
+    scs = st.socsplit
+    n, m, l = st.n, st.m, st.l
+    n_sc = cone.n_sc
+    w = scs.width
+    colsS = np.asarray(scs.cols, np.int64).reshape(n_sc, w)
+    qidx, valid = _soc_pad_maps(cone.q, cone.ms)
+    dmax = qidx.shape[1]
+    Gpad = jnp.zeros((m + 1, n + 1), fdtype).at[:m, :n].set(Gf)
+    Gsub = Gpad[jnp.asarray(l + qidx)[:, :, None],
+                jnp.asarray(colsS)[:, None, :]]          # (n_sc, dmax, w)
+    if scal_f is None:
+        return Gsub
+    qpad = jnp.concatenate([scal_f.q_flat,
+                            jnp.zeros((1,), fdtype)])[jnp.asarray(qidx)]
+    with jax.default_matmul_precision("highest"):
+        qG = jnp.einsum("cd,cdw->cw", qpad, Gsub)        # q'G1
+    g0 = Gsub[:, 0, :]                                   # (n_sc, w)
+    head = scal_f.a[:, None] * g0 - qG
+    t = -(g0 - qG / (1.0 + scal_f.a)[:, None])           # (n_sc, w)
+    tails = Gsub + qpad[:, :, None] * t[:, None, :]
+    e = (np.arange(dmax)[None, :] == 0) & valid
+    out = jnp.where(jnp.asarray(e)[:, :, None],
+                    head[:, None, :], tails)
+    return out * (1.0 / scal_f.eta)[:, None, None]
+
+
 def _band_scatter_vals(st: ProblemStructure, split, Gf, winv_lp,
-                       scal_f, delta, fdtype):
+                       scal_f, delta, fdtype, keep_soc: bool = False):
     """Per-lane H contributions for the direct band scatter, ordered to
-    match _band_scatter_idx: [spr | sing | delta I | soc]."""
+    match _band_scatter_idx: [spr | sing | delta I | soc], where the
+    soc part is the eliminating closed form (_soc_band_vals) or, with
+    ``keep_soc``, the NT-scaled kept blocks followed by the coupling
+    blocks TWICE (once per orientation, matching the idx layout)."""
     n, m = st.n, st.m
     vals = []
     if split.n_spr:
@@ -374,7 +525,15 @@ def _band_scatter_vals(st: ProblemStructure, split, Gf, winv_lp,
         vals.append(coef * coef * winv_lp[sing])
     vals.append(jnp.full((n,), delta, fdtype))
     if st.n_sc:
-        vals.append(_soc_band_vals(st, Gf, scal_f, delta, fdtype).ravel())
+        if keep_soc:
+            vals.append(_soc_scaled_kept_vals(
+                st, scal_f, delta, fdtype).ravel())
+            coup = _soc_coupling_vals(st, Gf, scal_f, fdtype).ravel()
+            vals.append(coup)
+            vals.append(coup)
+        else:
+            vals.append(_soc_band_vals(
+                st, Gf, scal_f, delta, fdtype).ravel())
     return jnp.concatenate(vals)
 
 
@@ -509,11 +668,22 @@ def factor(st: ProblemStructure, ctx: KKTContext,
         # dense per-lane (n, n) H is never built (it dominated the
         # non-factor HBM traffic of an iteration at batch 128, and its
         # per-lane footprint was the SOCP lane's OOM at 128 lanes)
-        direct_band = (use_ds and st.band.bwb == 1 and me == m
+        # direct scatter needs: every ELIMINATED row covered by the
+        # gsplit, narrow per-cone supports (SOCSplit — the eliminating
+        # closed form and the keep_soc coupling blocks both live on
+        # them), block-tridiagonal plan
+        direct_band = (use_ds and st.band.bwb == 1
                        and st.gsplit is not None
                        and not st.gsplit.dense_rows
                        and (st.gsplit.n_sing or st.gsplit.n_spr)
                        and (st.n_sc == 0 or st.socsplit is not None))
+        # a keep_soc plan's per-lane NT-scaled blocks only exist on the
+        # scatter path: without it, fall back to the dense assembly
+        if keep_soc and not direct_band:
+            use_ds = False
+        # NT-scaled kept layout in effect: solve S K S u = S b with
+        # S = diag(W^-1, I, I) (see _soc_scaled_kept_vals)
+        scaled_kept = keep_soc and direct_band
         band_vals = None
         if me:
             split = st.gsplit
@@ -536,7 +706,8 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 coef = Gf[sing, scol]
                 if direct_band:
                     band_vals = _band_scatter_vals(
-                        st, split, Gf, winv_lp, scal_f, delta, fdtype)
+                        st, split, Gf, winv_lp, scal_f, delta, fdtype,
+                        keep_soc=keep_soc)
                     H = None
                 elif split.n_spr:
                     w = split.spr_width
@@ -617,7 +788,8 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 # the batch size).
                 bwb = plan.bwb
                 (dmask, dih, dio), subs = _band_gather_split(
-                    n, p, Dp, tuple(int(v) for v in perm), bwb)
+                    n, p, Dp, tuple(int(v) for v in perm), bwb,
+                    ms if keep_soc else 0)
                 (smask, sih, sio) = subs[0]
                 other = jnp.concatenate([
                     (ctx.A.astype(fdtype).reshape(-1) if p
@@ -626,16 +798,18 @@ def factor(st: ProblemStructure, ctx: KKTContext,
 
                 if direct_band:
                     # H contributions scatter straight into the band
-                    # blocks (per-lane, ~n_spr*w^2 + n_sing + n values);
-                    # the shared [A | consts] base is gathered once
-                    # (unbatched under vmap)
+                    # blocks (per-lane, ~n_spr*w^2 + n_sing + n values,
+                    # plus the NT-scaled kept + coupling cone blocks on
+                    # a keep_soc plan); the shared [A | consts] base is
+                    # gathered once (unbatched under vmap)
                     nbb = (Dp // 128) * 128 * 128
                     idx = _band_scatter_idx(
                         n, p, Dp, tuple(int(v) for v in perm),
                         st.gsplit.sing_cols, st.gsplit.spr_cols,
                         st.gsplit.spr_width,
-                        st.socsplit.cols if st.n_sc else (),
-                        st.socsplit.width if st.n_sc else 0)
+                        (st.socsplit.cols if st.n_sc else ()),
+                        (st.socsplit.width if st.n_sc else 0),
+                        st.q if keep_soc else ())
                     buf = (jnp.zeros((2 * nbb + 1,), fdtype)
                            .at[jnp.asarray(idx)].add(band_vals))
                     Kd = (jnp.where(dmask, 0.0, other[dio])
@@ -707,6 +881,12 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             rhs_f = rhs.astype(fdtype)
             bx, by, bz = rhs_f[:, :n], rhs_f[:, n:n + p], rhs_f[:, n + p:]
             bz_e, bz_s = bz[:, :me], bz[:, me:]  # eliminated | kept rows
+            if scaled_kept and scal is not None:
+                # NT-scaled kept layout: the factor holds S K S with
+                # S = diag(W^-1, I, I) — transform the kept-row RHS in
+                # (and the kept-row solution out, below)
+                bz_s = jax.vmap(lambda v: cones.scale_winv_soc(
+                    st.cone, scal_f, v))(bz_s)
             with jax.default_matmul_precision("highest"):
                 oz = ctx.sGe is not None and fdtype == jnp.float64
                 r1 = bx + ((_oz_mm(ctx.sGe, welim_inv_rows(bz_e), None)
@@ -716,6 +896,9 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     jnp.concatenate([bz_s, r1, by], axis=1).T)
                 x = padded_solve(rr)
                 dzs = x[:ms].T
+                if scaled_kept and scal is not None and ms:
+                    dzs = jax.vmap(lambda v: cones.scale_winv_soc(
+                        st.cone, scal_f, v))(dzs)
                 dx = x[ms:ms + n].T
                 dy = x[ms + n:D].T
                 dz_e = (welim_inv_rows(

@@ -17,13 +17,19 @@ precision:
   the MXU is EXACT (16 + log2(128) = 23 < 24); partials merge by
   magnitude level with error-free TwoSum — a double-single GEMM built
   from full-rate bf16 MXU passes (21 per product, i+j <= 5);
-* the diagonal leaf elimination is the double-single rank-1 loop of
-  ops/pallas_leaf_ds.py, inlined, with the unit-lower inverse
-  accumulated in-loop via the product form.
+* the diagonal leaf elimination is blocked-panel (_leaf_eliminate_blocked):
+  the sequential double-single rank-1 arithmetic runs on 16-row panel
+  slices and the trailing-matrix / unit-lower-inverse updates are
+  deferred to one sqrt|d|-balanced small-K chunked MXU product per
+  panel — ~2.3x the plain elementwise loop at the same refinement
+  behavior.
 
-Specialized to block bandwidth bwb == 1 (the MPC/staircase case — RCM
-gives bwb=1 on the whole bench family); wider bands fall back to the
-XLA scan in ops/band_ldl.py.
+Block bandwidth 1 (the MPC/staircase case — RCM gives bwb=1 on the
+whole bench family) uses the specialized kernels below; bandwidths 2-6
+(LPnetlib-class shapes) get ring-buffer generalizations
+(band_factor_ds_bw / band_solve_ds_bw); wider bands fall back to the
+XLA scan in ops/band_ldl.py (the bw^2-block VMEM L ring exceeds the
+16 MB scoped budget at bw = 8).
 
 Role: this is the performance-critical half of the Eigen-SimplicialLDLT
 replacement (/root/reference/include/eicos.hpp:221-222) — AMD-ordered

@@ -351,3 +351,140 @@ def test_soc_band_scatter_matches_dense():
         scale = max(1.0, np.abs(Kd_ref).max())
         assert np.abs(Kd - Kd_ref).max() < 1e-10 * scale, case
         assert np.abs(Ks - Ks_ref).max() < 1e-10, case
+
+
+def _dense_winv(cone, scal):
+    """Per-cone dense W^-1 from the closed-form scaling fields
+    (Wbar^{-1} = [a -q'; -q I + qq'/(1+a)], W^-1 = Wbar^{-1}/eta)."""
+    ms = cone.ms
+    a = np.asarray(scal.a)
+    qf = np.asarray(scal.q_flat)
+    eta = np.asarray(scal.eta)
+    offs = np.asarray(cone.head_offsets)
+    Winv = np.zeros((ms, ms))
+    for c in range(cone.n_sc):
+        o, d = int(offs[c]), int(cone.q[c])
+        q1 = qf[o + 1:o + d]
+        Wb = np.zeros((d, d))
+        Wb[0, 0] = a[c]
+        Wb[0, 1:] = -q1
+        Wb[1:, 0] = -q1
+        Wb[1:, 1:] = np.eye(d - 1) + np.outer(q1, q1) / (1.0 + a[c])
+        Winv[o:o + d, o:o + d] = Wb / eta[c]
+    return Winv
+
+
+def _interior(rng, cone, l, msz):
+    x = np.abs(rng.standard_normal(msz)) + 0.5
+    offs = cone.head_offsets
+    for c in range(cone.n_sc):
+        a = l + int(offs[c])
+        b = a + cone.q[c]
+        x[a + 1:b] *= 0.3
+        x[a] = np.linalg.norm(x[a + 1:b]) + 1.0
+    return jnp.asarray(x)
+
+
+def test_scale_winv_soc_inverts_scale():
+    """cones.scale_winv_soc is the exact inverse of the SOC part of
+    cones.scale (W^{-1} W z == z), and matches the dense closed-form
+    W^{-1}."""
+    from eicos_tpu import cones, corpus
+
+    st, base = corpus.make_mpc_soc(horizon=8, nx=2, nu=3, seed=6)
+    l, m = st.l, st.m
+    rng = np.random.default_rng(11)
+    scal, _ = cones.update_scalings(st.cone, _interior(rng, st.cone, l, m),
+                                    _interior(rng, st.cone, l, m))
+    z = np.asarray(rng.standard_normal(m))
+    lam_s = np.asarray(cones.scale(st.cone, scal, jnp.asarray(z)))[l:]
+    back = np.asarray(cones.scale_winv_soc(st.cone, scal,
+                                           jnp.asarray(lam_s)))
+    assert np.abs(back - z[l:]).max() < 1e-10 * (1 + np.abs(z).max())
+    Winv = _dense_winv(st.cone, scal)
+    ref = Winv @ np.asarray(rng.standard_normal(st.cone.ms))
+    x = jnp.asarray(np.linalg.solve(Winv, ref))
+    assert np.abs(np.asarray(cones.scale_winv_soc(st.cone, scal, x))
+                  - ref).max() < 1e-10 * (1 + np.abs(ref).max())
+
+
+def test_keep_soc_scaled_scatter_matches_dense():
+    """The NT-scaled keep_soc band scatter (kkt._soc_scaled_kept_vals +
+    _soc_coupling_vals + the keep_q part of _band_scatter_idx)
+    reproduces the dense S K S assembly (S = diag(W^-1, I, I)) exactly,
+    and the band plan covers every nonzero."""
+    from eicos_tpu import cones, corpus, kkt
+    from eicos_tpu.plan import make_band_plan
+    from eicos_tpu.settings import Settings
+
+    st, base = corpus.make_mpc_soc(horizon=12, nx=2, nu=3, seed=4)
+    st = st.with_gsplit(base.G)
+    plan = make_band_plan(st, base.G, base.A, keep_soc=True)
+    st = st.with_band_plan(plan)
+    assert plan.keep_soc and st.socsplit is not None
+    n, p, m, l = st.n, st.p, st.m, st.l
+    ms = st.cone.ms
+    D = ms + n + p
+    Dp = plan.dim
+    delta = Settings(kkt_strategy="banded").deltastat
+    G = jnp.asarray(np.asarray(base.G))
+    A = np.asarray(base.A)
+    rng = np.random.default_rng(9)
+    scal, _ = cones.update_scalings(st.cone, _interior(rng, st.cone, l, m),
+                                    _interior(rng, st.cone, l, m))
+
+    # dense NT-scaled reference in [z_soc | x | y]
+    winv_lp = 1.0 / (np.asarray(scal.v_lp) + delta)
+    Glp, Gsoc = np.asarray(G)[:l], np.asarray(G)[l:]
+    H = Glp.T @ (Glp * winv_lp[:, None]) + delta * np.eye(n)
+    Winv = _dense_winv(st.cone, scal)
+    M = np.zeros((Dp, Dp))
+    M[:ms, :ms] = -(np.eye(ms) + delta * (Winv @ Winv))
+    M[:ms, ms:ms+n] = Winv @ Gsoc
+    M[ms:ms+n, :ms] = M[:ms, ms:ms+n].T
+    M[ms:ms+n, ms:ms+n] = H
+    if p:
+        M[ms:ms+n, ms+n:D] = A.T
+        M[ms+n:D, ms:ms+n] = A
+        M[ms+n:D, ms+n:D] = -delta * np.eye(p)
+    for i in range(D, Dp):
+        M[i, i] = 1.0
+    perm = np.asarray(plan.perm)
+    Mp = M[perm][:, perm]
+    nb = Dp // 128
+    Kd_ref = np.stack([Mp[k*128:(k+1)*128, k*128:(k+1)*128]
+                       for k in range(nb)])
+    Ks_ref = np.zeros_like(Kd_ref)
+    band_cover = np.zeros_like(Mp)
+    for k in range(nb):
+        band_cover[k*128:(k+1)*128, k*128:(k+1)*128] = 1
+        if k:
+            Ks_ref[k] = Mp[k*128:(k+1)*128, (k-1)*128:k*128]
+            band_cover[k*128:(k+1)*128, (k-1)*128:k*128] = 1
+            band_cover[(k-1)*128:k*128, k*128:(k+1)*128] = 1
+    assert np.abs(Mp * (1 - band_cover)).max() == 0.0, (
+        "keep_soc plan does not cover the scaled pattern")
+
+    # scatter-path assembly (mirrors kkt.factor's direct_band branch)
+    permt = tuple(int(v) for v in plan.perm)
+    (dmask, dih, dio), [(smask, sih, sio)] = kkt._band_gather_split(
+        n, p, Dp, permt, 1, ms)
+    other = np.concatenate([A.ravel(), [-delta, 0.0, 1.0]])
+    split = st.gsplit
+    idx = kkt._band_scatter_idx(n, p, Dp, permt, split.sing_cols,
+                                split.spr_cols, split.spr_width,
+                                st.socsplit.cols, st.socsplit.width,
+                                st.q)
+    vals = np.asarray(kkt._band_scatter_vals(
+        st, split, G, jnp.asarray(winv_lp), scal, delta, jnp.float64,
+        keep_soc=True))
+    assert len(vals) == len(idx), (len(vals), len(idx))
+    nbb = nb * 128 * 128
+    buf = np.zeros(2 * nbb + 1)
+    np.add.at(buf, idx, vals)
+    Kd = np.where(dmask, 0.0, other[dio]) + buf[:nbb].reshape(-1, 128, 128)
+    Ks = (np.where(smask, 0.0, other[sio])
+          + buf[nbb:2*nbb].reshape(-1, 128, 128))
+    scale = max(1.0, np.abs(Kd_ref).max())
+    assert np.abs(Kd - Kd_ref).max() < 1e-10 * scale
+    assert np.abs(Ks - Ks_ref).max() < 1e-10 * scale
