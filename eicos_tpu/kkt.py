@@ -835,6 +835,10 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                 # diagonal; normalizing it trades benign scaling for
                 # real elimination growth.
                 if bwb == 1:
+                    # factor: lane-tiled under vmap via custom_vmap
+                    # (T_LANES lanes per grid program — the leaf's small
+                    # vector ops are issue-bound; ~2.5x device time at
+                    # 128 lanes, bit-identical output)
                     dsfac = band_factor_ds(Kd, Ks)
                     band_solve = band_solve_ds
                 else:

@@ -410,6 +410,193 @@ def _leaf_eliminate_blocked(Mh, Ml):
     return (dvh, dvl), (Xh, Xl)
 
 
+# ---------------- lane-tiled (batched) variants --------------------------
+# The (P, B)- and (1, B)-shaped vector ops of the leaf inner loop are 2-4
+# vregs each: at 128 vmapped lanes the kernel is ISSUE-bound, not
+# flop-bound (measured: the leaf is ~60% of a 118 ms factor call at 128
+# lanes).  Processing T lanes per grid program turns every one of those
+# ops into a (T, P, B) slab — same issue count serves T lanes.  The MXU
+# dots stay per-lane (static T-loop; the operands genuinely differ), but
+# their bf16 chunk decompositions batch too (row-scaled chunking is
+# per-output-row, so stacking lanes along rows is exact).
+
+T_LANES = 4
+
+
+def _bT(x, T):
+    """(T*R, C) scratch view -> (T, R, C) (free: splits the sublane dim)."""
+    return x.reshape(T, x.shape[0] // T, x.shape[1])
+
+
+def _ds_matmul_b(ah, al, bh, bl, T: int, transpose_b: bool = True):
+    """Batched double-single product over a leading lane axis:
+    a @ b^T for (T, M, K) x (T, N, K) (``transpose_b``, the default) or
+    a @ b for (T, M, K) x (T, K, N).  Chunk decompositions run on the
+    full slabs (scales are per output row/col of each lane — exact
+    across stacked lanes); the level-pair dots loop lanes statically.
+    Same per-lane arithmetic as ds_matmul."""
+    a, sa = _chunks_scaled(ah, al, axis=2)            # sa: (T, M, 1)
+    if transpose_b:
+        b, sb = _chunks_scaled(bh, bl, axis=2)        # sb: (T, N, 1)
+        dn = (((1,), (1,)), ((), ()))
+        cat_axis = 2
+        sb_out = jnp.swapaxes(sb, 1, 2)
+    else:
+        b, sb = _chunks_scaled(bh, bl, axis=1)        # sb: (T, 1, N)
+        dn = (((1,), (0,)), ((), ()))
+        cat_axis = 1
+        sb_out = sb
+    gsz = 2 if ah.shape[2] <= 128 else 1
+    sh = sl = None
+    for pairs in _LEVEL_PAIRS:
+        for g in range(0, len(pairs), gsz):
+            grp = pairs[g:g + gsz]
+            if len(grp) == 1:
+                A, Bc = a[grp[0][0]], b[grp[0][1]]
+            else:
+                A = jnp.concatenate([a[s] for s, _ in grp], axis=2)
+                Bc = jnp.concatenate([b[t] for _, t in grp],
+                                     axis=cat_axis)
+            p = jnp.stack([
+                jax.lax.dot_general(A[t], Bc[t], dn,
+                                    precision=jax.lax.Precision.DEFAULT,
+                                    preferred_element_type=jnp.float32)
+                for t in range(T)])
+            if sh is None:
+                sh, sl = p, jnp.zeros_like(p)
+            else:
+                sh, e = _two_sum(sh, p)
+                sl = sl + e
+    sh, sl = _quick_renorm(sh, sl)
+    scale = sa * sb_out
+    return sh * scale, sl * scale
+
+
+def _panel_dots_b(a_chunks, b_chunks, row_lo, T: int):
+    """Batched _panel_dots: chunk lists of (T, P, B) slabs ->
+    (T, B - row_lo, B) double-single, contracting the P axis per lane."""
+    sh = sl = None
+    dn = (((0,), (0,)), ((), ()))
+    for pairs in _LEVEL_PAIRS:
+        A = jnp.concatenate([a_chunks[s] for s, _ in pairs], axis=1)
+        Bc = jnp.concatenate([b_chunks[t] for _, t in pairs], axis=1)
+        p = jnp.stack([
+            jax.lax.dot_general(A[t], Bc[t], dn,
+                                precision=jax.lax.Precision.DEFAULT,
+                                preferred_element_type=jnp.float32)
+            for t in range(T)])
+        p = p[:, row_lo:]
+        if sh is None:
+            sh, sl = p, jnp.zeros_like(p)
+        else:
+            sh, e = _two_sum(sh, p)
+            sl = sl + e
+    return _quick_renorm(sh, sl)
+
+
+def _leaf_eliminate_blocked_b(Mh, Ml):
+    """Batched _leaf_eliminate_blocked: (T, B, B) double-single blocks ->
+    ((T, 1, B) d, (T, B, B) Linv), identical per-lane arithmetic (the
+    batch axis only widens the vector ops)."""
+    T = Mh.shape[0]
+    NP = B // P_LEAF
+    P = P_LEAF
+    colv = lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
+    prow = lax.broadcasted_iota(jnp.int32, (1, P, B), 1)
+    pcol = lax.broadcasted_iota(jnp.int32, (1, P, B), 2)
+    eye_bb = (lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
+              == lax.broadcasted_iota(jnp.int32, (1, B, B), 2))
+    tiny = jnp.float32(1e-30)
+
+    Xh = jnp.broadcast_to(eye_bb.astype(jnp.float32), (T, B, B))
+    Xl = jnp.zeros((T, B, B), jnp.float32)
+    dvh = jnp.zeros((T, 1, B), jnp.float32)
+    dvl = jnp.zeros((T, 1, B), jnp.float32)
+
+    for p in range(NP):
+        q = p * P
+        psel = (pcol - prow) == q      # [., r, c] : c == q + r
+
+        def body(jj, carry, q=q, psel=psel):
+            Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl = carry
+            j = q + jj
+            rmask = prow == jj
+            cjh = jnp.sum(jnp.where(rmask, Pth, 0.0), axis=1,
+                          keepdims=True)                  # (T, 1, B)
+            cjl = jnp.sum(jnp.where(rmask, Ptl, 0.0), axis=1,
+                          keepdims=True)
+            cmask = colv == j
+            djh = jnp.sum(jnp.where(cmask, cjh, 0.0), axis=2,
+                          keepdims=True)                  # (T, 1, 1)
+            djl = jnp.sum(jnp.where(cmask, cjl, 0.0), axis=2,
+                          keepdims=True)
+            djh = jnp.where(jnp.abs(djh) < tiny,
+                            jnp.where(djh < 0, -tiny, tiny), djh)
+            djh_b = jnp.broadcast_to(djh, (T, 1, B))
+            djl_b = jnp.broadcast_to(djl, (T, 1, B))
+            lh, ll = ds_div(cjh, cjl, djh_b, djl_b)
+            below = colv > j
+            lh = jnp.where(below, lh, 0.0)
+            ll = jnp.where(below, ll, 0.0)
+            lph = jnp.sum(jnp.where(psel, jnp.broadcast_to(lh, (T, P, B)),
+                                    0.0), axis=2, keepdims=True)
+            lpl = jnp.sum(jnp.where(psel, jnp.broadcast_to(ll, (T, P, B)),
+                                    0.0), axis=2, keepdims=True)
+            ldh, ldl = ds_mul(lh, ll, djh_b, djl_b)
+            Pth, Ptl = _ds_outer_sub(Pth, Ptl, lph, lpl, ldh, ldl)
+            wjh = jnp.sum(jnp.where(rmask, Wph, 0.0), axis=1,
+                          keepdims=True)
+            wjl = jnp.sum(jnp.where(rmask, Wpl, 0.0), axis=1,
+                          keepdims=True)
+            Wph, Wpl = _ds_outer_sub(Wph, Wpl, lph, lpl, wjh, wjl)
+            Lth = jnp.where(rmask, jnp.broadcast_to(lh, (T, P, B)), Lth)
+            Ltl = jnp.where(rmask, jnp.broadcast_to(ll, (T, P, B)), Ltl)
+            dvh = jnp.where(cmask, djh, dvh)
+            dvl = jnp.where(cmask, djl, dvl)
+            return Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl
+
+        z_pb = jnp.zeros((T, P, B), jnp.float32)
+        carry = (Mh[:, q:q + P], Ml[:, q:q + P], Xh[:, q:q + P],
+                 Xl[:, q:q + P], z_pb, z_pb, dvh, dvl)
+        (_, _, Wph, Wpl, Lth, Ltl, dvh, dvl) = _fori32(P, body, carry)
+
+        t0 = q + P
+        if t0 >= B:
+            Xh = jnp.concatenate([Xh[:, :q], Wph], axis=1)
+            Xl = jnp.concatenate([Xl[:, :q], Wpl], axis=1)
+            break
+        dpch = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvh, (T, P, B)),
+                                 0.0), axis=2, keepdims=True)
+        dpcl = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvl, (T, P, B)),
+                                 0.0), axis=2, keepdims=True)
+        e = _pow2_half(dpch)
+        einv = 1.0 / e
+        m2h = dpch * einv * einv
+        m2l = dpcl * einv * einv
+        Leh, Lel = Lth * e, Ltl * e
+        ldh, ldl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (T, P, B)),
+                          jnp.broadcast_to(m2l, (T, P, B)))
+        a, sa = _chunks_scaled(Leh, Lel, axis=1)         # sa: (T, 1, B)
+        saT = jnp.sum(jnp.where(eye_bb, jnp.broadcast_to(sa, (T, B, B)),
+                                0.0), axis=2, keepdims=True)[:, t0:]
+        bU, sbU = _chunks_scaled(ldh, ldl, axis=1)
+        bX, sbX = _chunks_scaled(Wph * einv, Wpl * einv, axis=1)
+        uh, ul = _panel_dots_b(a, bU, t0, T)
+        sc = saT * sbU
+        Mth, Mtl = ds_add(Mh[:, t0:], Ml[:, t0:], -uh * sc, -ul * sc)
+        Mh = jnp.concatenate([Mh[:, :t0], Mth], axis=1)
+        Ml = jnp.concatenate([Ml[:, :t0], Mtl], axis=1)
+        uh, ul = _panel_dots_b(a, bX, t0, T)
+        sc = saT * sbX
+        Xth, Xtl = ds_add(Xh[:, t0:], Xl[:, t0:], -uh * sc, -ul * sc)
+        head_h = [Xh[:, :q]] if q else []
+        head_l = [Xl[:, :q]] if q else []
+        Xh = jnp.concatenate(head_h + [Wph, Xth], axis=1)
+        Xl = jnp.concatenate(head_l + [Wpl, Xtl], axis=1)
+
+    return (dvh, dvl), (Xh, Xl)
+
+
 # ------------------------------------------------- factor kernel (bwb=1)
 # Grid = one step per block row; scratch VMEM carries Dinv_{k-1}/d_{k-1}
 # across grid steps (TPU grid programs run sequentially).  Row-blocked
@@ -473,8 +660,8 @@ def _band_factor_kernel(kdh_ref, kdl_ref, ksh_ref, ksl_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def band_factor_ds(Kdiag, Ksub, interpret: bool = False):
-    """Double-single banded factor, bwb = 1.
+def _band_factor_ds_impl(Kdiag, Ksub, interpret: bool = False):
+    """Double-single banded factor, bwb = 1 (single lane).
 
     ``Kdiag``: (nb, B, B) float64 diagonal blocks; ``Ksub``: (nb, B, B)
     float64 subdiagonal blocks (row k holds K[k, k-1]; row 0 ignored,
@@ -520,6 +707,141 @@ def band_factor_ds(Kdiag, Ksub, interpret: bool = False):
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(kdh, kdl, ksh, ksl)
+
+
+# --------------------------------------- lane-tiled factor kernel (bwb=1)
+def _make_band_factor_tiled(T: int):
+    def kern(kdh_ref, kdl_ref, ksh_ref, ksl_ref,
+             lbh_ref, lbl_ref, dih_ref, dil_ref, dh_ref, dl_ref,
+             c_dih, c_dil, c_dh, c_dl):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _init():
+            c_dih[...] = jnp.zeros_like(c_dih)
+            c_dil[...] = jnp.zeros_like(c_dil)
+            c_dh[...] = jnp.ones_like(c_dh)
+            c_dl[...] = jnp.zeros_like(c_dl)
+
+        Kdh = kdh_ref[...].reshape(T, B, B)
+        Kdl = kdl_ref[...].reshape(T, B, B)
+        Ksh = ksh_ref[...].reshape(T, B, B)
+        Ksl = ksl_ref[...].reshape(T, B, B)
+        Dpih = _bT(c_dih[...], T)
+        Dpil = _bT(c_dil[...], T)
+        dph = _bT(c_dh[...], T)[:, 0:1, :]               # (T, 1, B)
+        dpl = _bT(c_dl[...], T)[:, 0:1, :]
+        # L[k, k-1] = Ksub_k Dinv_{k-1}^T / d_{k-1}
+        ph, plo = _ds_matmul_b(Ksh, Ksl, Dpih, Dpil, T)
+        Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (T, B, B)),
+                        jnp.broadcast_to(dpl, (T, B, B)))
+        # Schur: Kkk -= (L * d) L^T, sqrt|d|-balanced (see bwb=1 kernel)
+        e = _pow2_half(dph)
+        einv = 1.0 / e
+        m2h = dph * einv * einv
+        m2l = dpl * einv * einv
+        Leh = Lh * e
+        Lel = Ll * e
+        sh, sl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (T, B, B)),
+                        jnp.broadcast_to(m2l, (T, B, B)))
+        uh, ul = _ds_matmul_b(sh, sl, Leh, Lel, T)
+        Mh, Ml = ds_add(Kdh, Kdl, -uh, -ul)
+        (dh, dl), (Xh, Xl) = _leaf_eliminate_blocked_b(Mh, Ml)
+        _wr(lbh_ref, Lh)
+        _wr(lbl_ref, Ll)
+        _wr(dih_ref, Xh)
+        _wr(dil_ref, Xl)
+        dbb = jnp.broadcast_to(dh, (T, 8, B))
+        dbl = jnp.broadcast_to(dl, (T, 8, B))
+        _wr(dh_ref, dbb)
+        _wr(dl_ref, dbl)
+        c_dih[...] = Xh.reshape(T * B, B)
+        c_dil[...] = Xl.reshape(T * B, B)
+        c_dh[...] = dbb.reshape(T * 8, B)
+        c_dl[...] = dbl.reshape(T * 8, B)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _band_factor_ds_batch(Kdiag, Ksub, T: int = T_LANES,
+                          interpret: bool = False):
+    """Lane-tiled batched bwb=1 factor: (L, nb, B, B) inputs, grid
+    (L/T, nb) with T lanes per program (see the lane-tiled note above).
+    Lanes are padded to a multiple of T with identity diagonals."""
+    L, nb = Kdiag.shape[0], Kdiag.shape[1]
+    assert Kdiag.shape == (L, nb, B, B) and Ksub.shape == (L, nb, B, B)
+    assert Kdiag.dtype == jnp.float64
+    Lp = -(-L // T) * T
+    if Lp != L:
+        eye = jnp.broadcast_to(jnp.eye(B, dtype=Kdiag.dtype),
+                               (Lp - L, nb, B, B))
+        Kdiag = jnp.concatenate([Kdiag, eye], axis=0)
+        Ksub = jnp.concatenate(
+            [Ksub, jnp.zeros((Lp - L, nb, B, B), Ksub.dtype)], axis=0)
+
+    def split(x):
+        hi = x.astype(jnp.float32)
+        return hi, (x - hi.astype(jnp.float64)).astype(jnp.float32)
+
+    kdh, kdl = split(Kdiag)
+    ksh, ksl = split(Ksub)
+    spec_bb = pl.BlockSpec((T, 1, B, B), lambda t, k: (t, k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((T, 1, 8, B), lambda t, k: (t, k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _make_band_factor_tiled(T),
+            grid=(Lp // T, nb),
+            in_specs=[spec_bb] * 4,
+            out_specs=(spec_bb, spec_bb, spec_bb, spec_bb, spec_d, spec_d),
+            out_shape=(
+                jax.ShapeDtypeStruct((Lp, nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, nb, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, nb, 8, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, nb, 8, B), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((T * B, B), jnp.float32),
+                pltpu.VMEM((T * B, B), jnp.float32),
+                pltpu.VMEM((T * 8, B), jnp.float32),
+                pltpu.VMEM((T * 8, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(kdh, kdl, ksh, ksl)
+    if Lp != L:
+        out = tuple(o[:L] for o in out)
+    return out
+
+
+try:  # pragma: no cover - custom_batching present in all supported jax
+    from jax import custom_batching as _cb
+
+    @_cb.custom_vmap
+    def band_factor_ds(Kdiag, Ksub):
+        """Double-single banded factor, bwb = 1 (see
+        _band_factor_ds_impl).  Under vmap the batch collapses into the
+        lane-tiled kernel (_band_factor_ds_batch): T lanes per grid
+        program instead of a replayed per-lane grid axis."""
+        return _band_factor_ds_impl(Kdiag, Ksub)
+
+    @band_factor_ds.def_vmap
+    def _band_factor_ds_vmap(axis_size, in_batched, Kd, Ks):
+        kd_b, ks_b = in_batched
+        if kd_b and ks_b and Kd.ndim == 4:
+            out = _band_factor_ds_batch(Kd, Ks)
+        else:
+            out = jax.vmap(
+                _band_factor_ds_impl,
+                in_axes=(0 if kd_b else None, 0 if ks_b else None))(Kd, Ks)
+        return out, (True,) * 6
+except Exception:  # pragma: no cover
+    band_factor_ds = _band_factor_ds_impl
 
 
 # ------------------------------------------------- solve kernels (bwb=1)

@@ -488,3 +488,56 @@ def test_keep_soc_scaled_scatter_matches_dense():
     scale = max(1.0, np.abs(Kd_ref).max())
     assert np.abs(Kd - Kd_ref).max() < 1e-10 * scale
     assert np.abs(Ks - Ks_ref).max() < 1e-10 * scale
+
+
+def test_batched_leaf_matches_single():
+    """_leaf_eliminate_blocked_b (the lane-tiled kernel's leaf) matches
+    the per-lane blocked leaf exactly, lane by lane."""
+    from eicos_tpu.ops.pallas_band_ds import (
+        B, _leaf_eliminate_blocked, _leaf_eliminate_blocked_b)
+
+    rng = np.random.default_rng(7)
+    T = 4
+    Ms = np.empty((T, B, B))
+    for t in range(T):
+        A = rng.standard_normal((B, B)) * 0.2
+        s = np.exp(rng.uniform(-8, 8, B)) * np.sign(
+            rng.standard_normal(B))
+        Ms[t] = (A + A.T) / 2 + np.diag(s * 4)
+    hi, lo = _split64(Ms)
+    with jax.enable_x64(False):
+        (dh, dl), (Xh, Xl) = jax.jit(_leaf_eliminate_blocked_b)(hi, lo)
+        for t in range(T):
+            (dh1, dl1), (Xh1, Xl1) = jax.jit(_leaf_eliminate_blocked)(
+                hi[t], lo[t])
+            np.testing.assert_array_equal(np.asarray(dh[t]),
+                                          np.asarray(dh1))
+            np.testing.assert_array_equal(np.asarray(Xh[t]),
+                                          np.asarray(Xh1))
+            # low parts may differ at refusion level only; require tight
+            np.testing.assert_allclose(np.asarray(dl[t]),
+                                       np.asarray(dl1), atol=0, rtol=0)
+            np.testing.assert_allclose(np.asarray(Xl[t]),
+                                       np.asarray(Xl1), atol=0, rtol=0)
+
+
+def test_batched_ds_matmul_matches_single():
+    from eicos_tpu.ops.pallas_band_ds import ds_matmul, _ds_matmul_b
+
+    rng = np.random.default_rng(8)
+    T = 4
+    A = rng.standard_normal((T, 128, 128)) * np.exp(
+        rng.uniform(-6, 6, (T, 128, 1)))
+    Bm = rng.standard_normal((T, 128, 128)) * np.exp(
+        rng.uniform(-6, 6, (T, 128, 1)))
+    ah, al = _split64(A)
+    bh, bl = _split64(Bm)
+    with jax.enable_x64(False):
+        ch, cl = jax.jit(lambda *a: _ds_matmul_b(*a, T=T))(ah, al, bh, bl)
+        for t in range(T):
+            rh, rl = jax.jit(lambda *a: ds_matmul(*a, transpose_b=True))(
+                ah[t], al[t], bh[t], bl[t])
+            np.testing.assert_array_equal(np.asarray(ch[t]),
+                                          np.asarray(rh))
+            np.testing.assert_array_equal(np.asarray(cl[t]),
+                                          np.asarray(rl))
