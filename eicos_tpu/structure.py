@@ -129,7 +129,15 @@ class GSplit:
         # rows touch every column gain nothing from the scatter form
         wmax = min(GSplit.SPR_WIDTH_MAX, G.shape[1] - 1)
         spr = np.flatnonzero((nnz_per_row >= 2) & (nnz_per_row <= wmax))
-        dense = np.flatnonzero(nnz_per_row > wmax)
+        # dense = everything not singleton and not a scatter row.  The
+        # threshold must never drop below 1: at n = 1, wmax = 0 and a
+        # plain nnz > wmax test put the singleton rows in BOTH lists —
+        # H double-counted those rows, the factor solved ~2H while
+        # refinement targeted H, and the slow ~x0.5/round contraction
+        # tripped the weak-progress stop: knife-thin certificates
+        # (infeasible1) diverged to CLOSE_TO_DUAL_INFEASIBLE under the
+        # gsplit strategies where "full" certified PINF in 5 iterations.
+        dense = np.flatnonzero(nnz_per_row > max(wmax, 1))
         if spr.size:
             width = int(nnz_per_row[spr].max())
             spr_cols = np.full((spr.size, width), n, dtype=np.int64)
