@@ -103,6 +103,26 @@ def _unit_lower_inv(L):
     return lax.fori_loop(0, steps, body, eye2 - L)
 
 
+def _use_ds_gemm(dtype) -> bool:
+    """Route float64 GEMMs through the double-single Pallas kernel on
+    TPU: XLA's f64 dot emulation is a chunked while-loop whose
+    per-chunk overhead (~65 us) dominates at the recursion's block
+    sizes — measured as the bulk of single-lane LPnetlib iterations."""
+    if dtype != jnp.float64:
+        return False
+    from .pallas_gemm_ds import gemv_ds_available
+
+    return gemv_ds_available()
+
+
+def _mm(a, b, ds: bool):
+    if ds:
+        from .pallas_gemm_ds import matmul_ds
+
+        return matmul_ds(a, b)
+    return a @ b
+
+
 def _leaf(K, use_pallas: bool):
     """(block, block) leaf -> (Linv, d)."""
     if use_pallas and K.shape[-1] == 128 and K.dtype == jnp.float32:
@@ -122,7 +142,7 @@ def _leaf(K, use_pallas: bool):
     return _unit_lower_inv(L), d
 
 
-def _ldl_rec(K, block: int, use_pallas: bool):
+def _ldl_rec(K, block: int, use_pallas: bool, ds: bool = False):
     """Returns (Linv, d) for symmetric K (D, D), D a multiple of block."""
     D = K.shape[-1]
     if D <= block:
@@ -134,13 +154,13 @@ def _ldl_rec(K, block: int, use_pallas: bool):
     K21 = K[h:, :h]
     K22 = K[h:, h:]
 
-    L11inv, d1 = _ldl_rec(K11, block, use_pallas)
+    L11inv, d1 = _ldl_rec(K11, block, use_pallas, ds)
     # K21 = L21 D1 L11^T  =>  L21 = K21 L11^{-T} D1^{-1}
-    L21 = (K21 @ L11inv.T) / d1[None, :]
-    K22s = K22 - (L21 * d1[None, :]) @ L21.T
-    L22inv, d2 = _ldl_rec(K22s, block, use_pallas)
+    L21 = _mm(K21, L11inv.T, ds) / d1[None, :]
+    K22s = K22 - _mm(L21 * d1[None, :], L21.T, ds)
+    L22inv, d2 = _ldl_rec(K22s, block, use_pallas, ds)
     # [L11 0; L21 L22]^{-1} = [L11inv 0; -L22inv L21 L11inv, L22inv]
-    L21inv = -(L22inv @ (L21 @ L11inv))
+    L21inv = -_mm(L22inv, _mm(L21, L11inv, ds), ds)
     Linv = jnp.zeros_like(K)
     Linv = Linv.at[:h, :h].set(L11inv)
     Linv = Linv.at[h:, :h].set(L21inv)
@@ -163,16 +183,28 @@ def ldl_factor(K, block: int = 128, use_pallas: str = "off") -> LDLFactors:
 
     ok = pallas_available() and K.dtype in (jnp.float32, jnp.float64)
     pallas = ok and use_pallas in ("on", "auto")
+    ds = _use_ds_gemm(K.dtype) and use_pallas in ("on", "auto")
     with jax.default_matmul_precision("highest"):
-        Linv, d = _ldl_rec(K, block, pallas)
+        Linv, d = _ldl_rec(K, block, pallas, ds)
     return LDLFactors(Linv=Linv, d=d)
 
 
 def ldl_solve(fac: LDLFactors, rhs):
     """Solve K x = rhs for padded RHS of shape (D,) or (D, k):
-    x = L^{-T} D^{-1} L^{-1} rhs — two MXU GEMMs and a diagonal scale."""
+    x = L^{-T} D^{-1} L^{-1} rhs — two MXU GEMMs and a diagonal scale.
+
+    On the TPU float64 path the two GEMMs run through the double-single
+    kernel in ROW form ((x^T Linv^T) and (t^T Linv)): the rhs has k <= 2
+    live columns, so the row-tiled kernel pads k to 16 rows instead of
+    the 128-column panel a column-form product would pad to."""
     single = rhs.ndim == 1
     x = rhs[:, None] if single else rhs
+    if _use_ds_gemm(x.dtype):
+        from .pallas_gemm_ds import matmul_ds
+
+        t = matmul_ds(x.T, fac.Linv.T) / fac.d[None, :]
+        x = matmul_ds(t, fac.Linv).T
+        return x[:, 0] if single else x
     with jax.default_matmul_precision("highest"):
         x = fac.Linv @ x
         x = x / fac.d[:, None]

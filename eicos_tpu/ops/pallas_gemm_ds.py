@@ -94,6 +94,8 @@ def _matmul_rows(a2, hi, lo, k, n):
     """(r, k) float64 rows @ padded (hi, lo) operand -> (r, n)."""
     r = a2.shape[0]
     R = -(-max(r, 1) // KP) * KP
+    if R > RB_MAX:
+        R = -(-R // RB_MAX) * RB_MAX    # row tiling needs R % RB == 0
     kp, npad = hi.shape
     ap = jnp.zeros((R, kp), a2.dtype).at[:r, :k].set(a2)
     ah = ap.astype(jnp.float32)
@@ -164,6 +166,38 @@ def _gemv_call(R: int, kp: int, npad: int):
             )(ah, al, bh, bl)
 
     return jax.jit(call)
+
+
+def matmul_ds(a, bmat):
+    """General float64 ``a @ bmat`` through the double-single chunk
+    kernel: both operands split to (hi, lo) f32 pairs per call, the
+    kernel streams them once from HBM.  For mid-size f64 GEMMs (the
+    dense LDL recursion's (D/2, D/2) blocks) this replaces XLA's
+    chunked-while-loop f64 emulation — whose per-chunk loop overhead
+    (~65 us on v5e) dominates below ~1k sizes — with one launch at
+    bf16-MXU rate (~2^-48 accuracy; consumers run under float64
+    iterative refinement)."""
+    assert a.ndim == 2 and bmat.ndim == 2, (a.shape, bmat.shape)
+    r, k = a.shape
+    k2, n = bmat.shape
+    assert k == k2, (a.shape, bmat.shape)
+    if r == 0 or n == 0 or k == 0:
+        return jnp.zeros((r, n), a.dtype)
+    kp = -(-max(k, 1) // B) * B
+    npad = -(-max(n, 1) // B) * B
+    bm = jnp.zeros((kp, npad), bmat.dtype).at[:k, :n].set(bmat)
+    hi = bm.astype(jnp.float32)
+    lo = (bm - hi.astype(jnp.float64)).astype(jnp.float32)
+    R = -(-max(r, 1) // KP) * KP
+    if R > RB_MAX:
+        R = -(-R // RB_MAX) * RB_MAX    # row tiling needs R % RB == 0
+    ap = jnp.zeros((R, kp), a.dtype).at[:r, :k].set(a)
+    ah = ap.astype(jnp.float32)
+    al = (ap - ah.astype(jnp.float64)).astype(jnp.float32)
+    oh, ol = _gemv_call(R, kp, npad)(ah, al, hi, lo)
+    out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+    out = out.transpose(1, 0, 2).reshape(R, npad)
+    return out[:r, :n]
 
 
 def gemv_ds_available() -> bool:
