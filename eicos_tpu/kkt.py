@@ -92,7 +92,7 @@ class KKTContext(NamedTuple):
     (ops/pallas_gemm_ds.BigOperand): XLA's native f64 dot emulation is
     a chunked while loop whose latency dominates the skinny residual/
     elimination matvecs of iterative refinement, and the XLA-level
-    Ozaki preslicing (ops/f64mm.SlicedOperand) re-reads the operand per
+    Ozaki preslicing variant (removed; git history) re-read the operand per
     slice pair; the kernel streams the (hi, lo) float32 pair from HBM
     once per product.  Built once per solve from loop-invariant data
     (XLA hoists them out of the IPM while-loop).
@@ -126,7 +126,7 @@ def _make_sliced(G, A, me: int):
     """Prepare G/A (+ the eliminated-row block) as Pallas double-single
     big operands for f64-on-TPU solves (ops/pallas_gemm_ds.BigOperand:
     one HBM read of an (hi, lo) f32 pair per product; the XLA-level
-    Ozaki preslicing in ops/f64mm re-reads the operand per slice pair
+    Ozaki preslicing variant re-read the operand per slice pair
     and measured slower)."""
     from .ops.pallas_gemm_ds import BigOperand, gemv_ds_available
 

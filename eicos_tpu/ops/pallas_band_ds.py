@@ -59,7 +59,7 @@ from .pallas_leaf_ds import (B, _fori32, _two_sum, _quick_renorm, ds_add,
 
 
 # ---------------- double-single GEMM from exact bf16 partials ----------
-# Ozaki-style mantissa slicing (cf. ops/f64mm.py, which does
+# Ozaki-style mantissa slicing (an XLA-level variant that did
 # the same from float64 in XLA): operands scale per output-row/column to
 # [0, 1) by an exact power of two, then split into 8-bit GRID-ALIGNED
 # chunks (integer multiples of 2^-8(k+1), magnitude <= 2^8 — exactly

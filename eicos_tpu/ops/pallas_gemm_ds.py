@@ -3,10 +3,10 @@
 The refinement residuals and the LP-row elimination of kkt.py are skinny
 float64 products ``a @ B`` with a (<= KP)-row dynamic ``a`` against big
 loop-invariant operands (G, A, transposes, stacks thereof).  XLA's f64
-dot emulation runs them as chunked while-loops (latency-bound); the
-XLA-level Ozaki preslicing (ops/f64mm.SlicedOperand) fixes the latency
-but re-reads the big operand once per slice pair — a 45x HBM
-amplification that is even slower at these sizes (measured).
+dot emulation runs them as chunked while-loops (latency-bound); an
+XLA-level Ozaki preslicing variant (removed; see git history) fixed
+the latency but re-read the big operand once per slice pair — a 45x
+HBM amplification that measured even slower at these sizes.
 
 This kernel gets both right: the big operand is stored ONCE as an
 (hi, lo) float32 pair, each grid program owns one 128-wide output panel
