@@ -78,7 +78,7 @@ def build_batch():
 
     rng = np.random.default_rng(7)
     st, base = corpus.make_mpc_like(horizon=HORIZON, nx=NX, nu=NU, seed=3)
-    st = st.with_gsplit(base.G)
+    st = st.with_gsplit(base.G, base.A)
     st = st.with_band_plan(make_band_plan(st, base.G, base.A))
     probs = []
     for _ in range(BATCH):
@@ -140,7 +140,7 @@ def build_socp_batch():
 
     rng = np.random.default_rng(11)
     st, base = corpus.make_mpc_soc(horizon=HORIZON, nx=NX, nu=NU, seed=5)
-    st = st.with_gsplit(base.G)
+    st = st.with_gsplit(base.G, base.A)
     # keep_soc: the SOC blocks stay in the banded factor in NT-scaled
     # form (plan.BandPlan docstring) — eliminating them squares the
     # cone conditioning and stalled every lane at ~1e-4 (exit 10);

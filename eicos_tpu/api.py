@@ -52,7 +52,8 @@ class Solver:
         if settings.kkt_strategy in ("reduced", "banded", "normal"):
             # static singleton-row split speeds up H formation (structure
             # .GSplit); pattern-only, so update_data keeps the executable
-            self.structure = self.structure.with_gsplit(self._data.G)
+            self.structure = self.structure.with_gsplit(
+                self._data.G, self._data.A)
         self._solution: Optional[Solution] = None
 
     @classmethod
@@ -78,7 +79,8 @@ class Solver:
         self.settings = settings
         self._data = make_problem(self.structure, G, A, c_arr, h_arr, b_arr)
         if settings.kkt_strategy in ("reduced", "banded", "normal"):
-            self.structure = self.structure.with_gsplit(self._data.G)
+            self.structure = self.structure.with_gsplit(
+                self._data.G, self._data.A)
         self._solution = None
         return self
 

@@ -122,29 +122,78 @@ def _oz_mm(sliced, a, bmat):
     return a @ bmat
 
 
-def _make_sliced(G, A, me: int):
-    """Prepare G/A (+ the eliminated-row block) as Pallas double-single
-    big operands for f64-on-TPU solves (ops/pallas_gemm_ds.BigOperand:
-    one HBM read of an (hi, lo) f32 pair per product; the XLA-level
-    Ozaki preslicing variant re-read the operand per slice pair
-    and measured slower)."""
+def _make_sliced(st, G, A, me: int):
+    """Prepare G/A (+ the eliminated-row block) as big-matvec operands
+    for f64-on-TPU solves.  Two forms, chosen per operand:
+
+    * ops/spmv.SparseOperand when the structure carries the nonzero
+      pattern (structure.MatvecPattern via with_gsplit(G, A)) and the
+      operand's column width is narrow — an exact f64 padded-CSC
+      gather (the TPU-native analogue of the reference's CSC SpMVs);
+    * ops/pallas_gemm_ds.BigOperand otherwise — the double-single
+      chunk GEMV kernel (one HBM read of an (hi, lo) f32 pair per
+      product; an XLA-level Ozaki preslicing variant re-read the
+      operand per slice pair and measured slower)."""
     from .ops.pallas_gemm_ds import BigOperand, gemv_ds_available
 
     if not gemv_ds_available() or G.dtype != jnp.float64:
         return {}
     m = G.shape[0]
     p = A.shape[0]
-    out = dict(sG=BigOperand(G), sGT=BigOperand(G.T))
+    mv = st.matvec
+
+    def sparse(bmat, src, out_cols, km, nm):
+        from .ops.spmv import SparseOperand, csc_table
+
+        tab = csc_table(src, out_cols, km, nm)
+        if tab is None:
+            return None
+        return SparseOperand(bmat, *tab)
+
+    def operand(bmat, src=None, out_cols=None, km=None, nm=None,
+                need_a=False):
+        if mv is not None and src is not None and not (need_a
+                                                       and not mv.has_a):
+            sp = sparse(bmat, src, out_cols, km, nm)
+            if sp is not None:
+                return sp
+        return BigOperand(bmat)
+
+    gr = np.asarray(mv.g_rows, np.int64) if mv is not None else None
+    gc = np.asarray(mv.g_cols, np.int64) if mv is not None else None
+    ar = np.asarray(mv.a_rows, np.int64) if mv is not None else None
+    ac = np.asarray(mv.a_cols, np.int64) if mv is not None else None
+    n = G.shape[1]
+    out = dict(
+        sG=operand(G, gr, gc, m, n),
+        sGT=operand(G.T, gc, gr, n, m))
     if p:
-        out.update(sA=BigOperand(A), sAT=BigOperand(A.T),
-                   sGA=BigOperand(jnp.concatenate([G, A], axis=0)),
-                   sAGT=BigOperand(jnp.concatenate([A.T, G.T], axis=1)))
+        out.update(
+            sA=operand(A, ar, ac, p, n, need_a=True),
+            sAT=operand(A.T, ac, ar, n, p, need_a=True),
+            sGA=operand(jnp.concatenate([G, A], axis=0),
+                        np.concatenate([gr, m + ar]) if mv is not None
+                        else None,
+                        np.concatenate([gc, ac]) if mv is not None
+                        else None,
+                        m + p, n, need_a=True),
+            sAGT=operand(jnp.concatenate([A.T, G.T], axis=1),
+                         np.concatenate([ac, gc]) if mv is not None
+                         else None,
+                         np.concatenate([ar, p + gr]) if mv is not None
+                         else None,
+                         n, p + m, need_a=True))
     else:
         out.update(sGA=out["sG"], sAGT=out["sGT"])
     if me == m:
         out.update(sGe=out["sG"], sGeT=out["sGT"])
     elif me:
-        out.update(sGe=BigOperand(G[:me]), sGeT=BigOperand(G[:me].T))
+        sel = (gr < me) if mv is not None else None
+        out.update(
+            sGe=operand(G[:me], gr[sel] if mv is not None else None,
+                        gc[sel] if mv is not None else None, me, n),
+            sGeT=operand(G[:me].T, gc[sel] if mv is not None else None,
+                         gr[sel] if mv is not None else None, n, me))
     return out
 
 
@@ -183,7 +232,7 @@ def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
             K0 = K0.at[ms:ms + n, ms + n:D].set(A.T)
             K0 = K0.at[ms + n:D, ms:ms + n].set(A)
         me = st.l if _keep_soc(st, settings) else m
-        return KKTContext(G=G, A=A, K0=K0, **_make_sliced(G, A, me))
+        return KKTContext(G=G, A=A, K0=K0, **_make_sliced(st, G, A, me))
 
     # full strategy, [z | x | y] elimination order (module docstring)
     D = st.dim_kkt
@@ -200,7 +249,7 @@ def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
     if p:
         K0 = K0.at[m:m + n, m + n:D].set(A.T)
         K0 = K0.at[m + n:D, m:m + n].set(A)
-    return KKTContext(G=G, A=A, K0=K0, **_make_sliced(G, A, 0))
+    return KKTContext(G=G, A=A, K0=K0, **_make_sliced(st, G, A, 0))
 
 
 def _factor_in_dtype(K, settings) -> LDLFactors:

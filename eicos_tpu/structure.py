@@ -210,6 +210,45 @@ class SOCSplit:
 
 
 @dataclasses.dataclass(frozen=True)
+class MatvecPattern:
+    """Static nonzero patterns of G and A for the TPU kernel path's
+    big matvecs (residual products, LP-row elimination).
+
+    The reference's computeResiduals runs CSC SpMVs
+    (/root/reference/src/eicos.cpp:643-689); the dense double-single
+    GEMV kernel that replaced them streams the full operand per product
+    — ~4.5 ms at 128 bench lanes for matrices with <= 8 nonzeros per
+    row/column.  With the pattern static, each product becomes an exact
+    float64 padded-CSC gather + weighted sum (ops/spmv.SparseOperand).
+    Coefficients stay traced (gathered from the equilibrated G/A inside
+    the jitted solve), so update_data with new values on the same
+    pattern reuses the compiled executable."""
+
+    g_rows: tuple
+    g_cols: tuple
+    a_rows: tuple
+    a_cols: tuple
+    has_a: bool  # A's pattern was recorded (empty tuples then mean A==0,
+    #              not "unknown" — the A-involving operands stay dense
+    #              when False and p > 0)
+
+    @staticmethod
+    def from_dense(G, A=None) -> "MatvecPattern":
+        gr, gc = np.nonzero(np.asarray(G))
+        has_a = A is not None
+        if has_a and np.asarray(A).size:
+            ar, ac = np.nonzero(np.asarray(A))
+        else:
+            ar, ac = (), ()
+        return MatvecPattern(
+            g_rows=tuple(int(v) for v in gr),
+            g_cols=tuple(int(v) for v in gc),
+            a_rows=tuple(int(v) for v in ar),
+            a_cols=tuple(int(v) for v in ac),
+            has_a=has_a)
+
+
+@dataclasses.dataclass(frozen=True)
 class ProblemStructure:
     """Full static description: dimensions + cone layout.
 
@@ -231,6 +270,7 @@ class ProblemStructure:
     band: object = None    # Optional[plan.BandPlan]
     gsplit: object = None  # Optional[GSplit]
     socsplit: object = None  # Optional[SOCSplit]
+    matvec: object = None  # Optional[MatvecPattern]
 
     @property
     def m(self) -> int:
@@ -273,10 +313,15 @@ class ProblemStructure:
         """Attach a banded-KKT symbolic plan (plan.make_band_plan)."""
         return dataclasses.replace(self, band=plan)
 
-    def with_gsplit(self, G) -> "ProblemStructure":
+    def with_gsplit(self, G, A=None) -> "ProblemStructure":
         """Attach the singleton-row split detected from a concrete G (used
         by the reduced KKT strategy's H formation).  Only worthwhile when a
-        meaningful fraction of LP rows are bound constraints."""
+        meaningful fraction of LP rows are bound constraints.
+
+        Passing ``A`` as well also records the full G/A nonzero patterns
+        (MatvecPattern): the TPU kernel path then runs its residual /
+        elimination matvecs as static-pattern sparse gathers wherever the
+        pattern is narrow enough (ops/spmv)."""
         split = GSplit.from_dense(G, self.l, self.n)
         new = self
         if split.n_sing or split.n_spr:
@@ -285,4 +330,6 @@ class ProblemStructure:
             soc = SOCSplit.from_dense(G, self.cone, self.n)
             if soc is not None:
                 new = dataclasses.replace(new, socsplit=soc)
+        new = dataclasses.replace(
+            new, matvec=MatvecPattern.from_dense(G, A))
         return new

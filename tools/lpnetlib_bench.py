@@ -52,7 +52,7 @@ def main():
 
             st = st.with_band_plan(make_band_plan(st, prob.G, prob.A))
         if args.strategy in ("reduced", "banded", "normal"):
-            st = st.with_gsplit(prob.G)  # singleton bound rows -> diag H
+            st = st.with_gsplit(prob.G, prob.A)  # bound rows + matvec patterns
         def run():
             # force a device->host fetch: through the TPU tunnel,
             # block_until_ready alone does not guarantee completion
