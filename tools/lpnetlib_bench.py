@@ -7,6 +7,13 @@ baselines/lpnetlib_results.json and prints a table.
 
 Usage:  python tools/lpnetlib_bench.py [--cpu] [--strategy reduced]
                                        [--problems lp_afiro,lp_blend]
+
+``--batch N`` switches to the BATCHED measurement: N instances of each
+problem (same G/A/h pattern+values, perturbed c — the updateData sweep
+shape) solved as one vmapped batch.  The reference solves LPnetlib one
+instance at a time on one core; batching is where the TPU design earns
+its keep on this corpus, so this is the headline scaling number.
+Writes baselines/lpnetlib_batched.json.
 """
 
 import argparse
@@ -23,18 +30,75 @@ ALL = ["lp_afiro", "lp_adlittle", "lp_blend", "lp_beaconfd", "lp_bandm",
        "lp_agg", "lp_agg2", "lp_agg3", "lp_bnl1", "lp_25fv47"]
 
 
+def run_batched(args):
+    import jax
+    from eicos_tpu import corpus
+    from eicos_tpu.api import BatchedSolver
+    from eicos_tpu.settings import Settings
+
+    settings = Settings(kkt_strategy=args.strategy,
+                        factor_dtype=args.factor_dtype)
+    N = args.batch
+    rng = np.random.default_rng(17)
+    rows = []
+    print(f"{'problem':14s} {'lanes':>5s} {'optimal':>7s} "
+          f"{'batch_s':>8s} {'solves/s':>9s} {'1-lane eq.':>10s}")
+    for name in args.problems.split(","):
+        st, prob, expected = corpus.load(name)
+        st = st.with_gsplit(prob.G, prob.A)
+        probs = []
+        for _ in range(N):
+            c = (np.asarray(prob.c)
+                 * (1.0 + 0.01 * rng.standard_normal(st.n)))
+            probs.append(prob.__class__(G=prob.G, A=prob.A, c=c,
+                                        h=prob.h, b=prob.b))
+        shared = ("G", "A", "h", "b")
+        batch = BatchedSolver.stack(probs, shared=shared)
+        bs = BatchedSolver(st, settings, shared=shared)
+        sols = bs.solve(batch)  # compile + warm
+        codes = np.asarray(jax.device_get(sols.exit_code))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            sols = bs.solve(batch)
+            float(jax.device_get(sols.x[0, 0]))
+            ts.append(time.time() - t0)
+        el = min(ts)
+        n_ok = int(np.sum(codes == 0))
+        rate = N / el
+        print(f"{name:14s} {N:5d} {n_ok:3d}/{N:<3d} {el:8.2f} "
+              f"{rate:9.2f} {el / N * 1e3:8.1f}ms")
+        rows.append(dict(problem=name, lanes=N, optimal=n_ok,
+                         batch_s=round(el, 3),
+                         solves_per_sec=round(rate, 3)))
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "baselines", "lpnetlib_batched.json")
+    with open(out, "w") as f:
+        json.dump(dict(settings=dict(strategy=args.strategy,
+                                     factor_dtype=args.factor_dtype,
+                                     backend=jax.default_backend(),
+                                     lanes=N,
+                                     pattern="shared G/A/h/b, perturbed c"),
+                       rows=rows), f, indent=1)
+    print(f"\nwrote {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--strategy", default="reduced")
     ap.add_argument("--factor-dtype", default="float64")
     ap.add_argument("--problems", default=",".join(ALL))
+    ap.add_argument("--batch", type=int, default=0,
+                    help="lanes for the batched measurement (0 = table)")
     args = ap.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import eicos_tpu
+    import eicos_tpu  # noqa: F401
+    if args.batch:
+        return run_batched(args)
     from eicos_tpu import corpus
     from eicos_tpu.settings import Settings
     from eicos_tpu.solver import solve
