@@ -887,9 +887,16 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     # factor: lane-tiled under vmap via custom_vmap
                     # (T_LANES lanes per grid program — the leaf's small
                     # vector ops are issue-bound; ~2.5x device time at
-                    # 128 lanes, bit-identical output)
-                    dsfac = band_factor_ds(Kd, Ks)
-                    band_solve = band_solve_ds
+                    # 128 lanes, bit-identical output).  The factor's
+                    # bf16 chunk decomposition is hoisted out of the
+                    # solve kernels (prechunk_band_fac, once per
+                    # factorization; refinement re-solves ~8x per
+                    # iteration) — bit-identical solves, ~2x fewer
+                    # issue slots per solve call
+                    from .ops.pallas_band_ds import (band_solve_ds_pre,
+                                                     prechunk_band_fac)
+                    dsfac = prechunk_band_fac(band_factor_ds(Kd, Ks))
+                    band_solve = band_solve_ds_pre
                 else:
                     from .ops.pallas_band_ds import (band_factor_ds_bw,
                                                      band_solve_ds_bw)

@@ -41,6 +41,7 @@ recovering exact-operator accuracy.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -76,10 +77,13 @@ _NLEVEL = 8          # keep s + t <= 7 (dropped tail ~2^-64); the extra
 
 
 def _pow2_above(m):
-    """Exact power of two > m (f32, elementwise, bit tricks)."""
+    """Exact power of two > m (f32, elementwise, bit tricks).
+    int32 constants are explicit so the function also traces at the
+    XLA level under enable_x64 (prechunk_band_fac)."""
     bits = jax.lax.bitcast_convert_type(m, jnp.int32)
-    e = jax.lax.shift_right_logical(bits, 23) & 255
-    s = jax.lax.shift_left(jnp.minimum(e + 1, 254), 23)
+    e = jax.lax.shift_right_logical(bits, np.int32(23)) & np.int32(255)
+    s = jax.lax.shift_left(jnp.minimum(e + np.int32(1), np.int32(254)),
+                           np.int32(23))
     s = jax.lax.bitcast_convert_type(s, jnp.float32)
     return jnp.where(m > 0.0, s, 1.0)
 
@@ -90,11 +94,13 @@ def _pow2_half(d):
     For |d| in [2^2k, 2^2k+2) returns 2^k; inputs are clamped-away-from-
     zero pivots (|d| >= 1e-30), so the result is a normal float."""
     bits = jax.lax.bitcast_convert_type(jnp.abs(d), jnp.int32)
-    ex = jax.lax.shift_right_logical(bits, 23) & 255     # biased exp
-    half = jax.lax.shift_right_arithmetic(ex - 127, 1) + 127
+    ex = (jax.lax.shift_right_logical(bits, np.int32(23))
+          & np.int32(255))                               # biased exp
+    half = (jax.lax.shift_right_arithmetic(ex - np.int32(127),
+                                           np.int32(1)) + np.int32(127))
     half = jnp.clip(half, 1, 254)
     return jax.lax.bitcast_convert_type(
-        jax.lax.shift_left(half, 23), jnp.float32)
+        jax.lax.shift_left(half, np.int32(23)), jnp.float32)
 
 
 def _chunks_scaled(xh, xl, axis):
@@ -953,6 +959,204 @@ def band_solve_ds(fac, rhs_t, interpret: bool = False):
             compiler_params=arb,
             interpret=interpret,
         )(Lh, Ll, Dih, Dil, wh, wl)
+    z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
+    return z.transpose(1, 0, 2).reshape(KP, D)
+
+
+# ----------------------------------- prechunked solve kernels (bwb=1)
+# The fwd/bwd solve kernels above re-run the bf16 chunk decomposition of
+# the SAME (B, B) factor blocks on every call — and solveKKT-style
+# iterative refinement calls the solve ~8x per IPM iteration (initial
+# backsolve + per-trip corrections for 2-3 stacked-RHS phases).  The
+# chunk values are a deterministic function of the (hi, lo) factor, so
+# they can be computed ONCE per factorization at the XLA level
+# (prechunk_band_fac: bulk elementwise f32, full VPU rate) and stored as
+# bf16 chunk stacks; the prechunked kernels then run ONLY the MXU dots
+# and TwoSum folds.  Output is BIT-IDENTICAL to band_solve_ds: the dots
+# consume the same chunk values in the same exact-pair grouping (two
+# 128-term partials on a shared grid sum exactly in f32, equal to the
+# concatenated 256-term dot).  Trade-off: the stored chunks are 14
+# bytes/element against the pair's 8, so HBM reads per solve grow 1.75x
+# — measured far below the issue-slot savings at bench shapes.
+
+
+class BandFacPre(NamedTuple):
+    """Prechunked bwb=1 banded factor (see prechunk_band_fac)."""
+    lc1: jax.Array   # L chunks along axis -1   (nb, 7, B, B) bf16
+    ls1: jax.Array   # matching scale rows      (nb, 8, B) f32 (row 0)
+    dc1: jax.Array   # Dinv chunks along axis -1
+    ds1: jax.Array
+    lc0: jax.Array   # L chunks along axis -2 (the bwd orientation)
+    ls0: jax.Array
+    dc0: jax.Array   # Dinv chunks along axis -2
+    ds0: jax.Array
+    dh: jax.Array    # pivot rows, as in band_factor_ds
+    dl: jax.Array
+
+
+def prechunk_band_fac(fac) -> BandFacPre:
+    """XLA-level bf16 chunk decomposition of a band_factor_ds factor.
+
+    Runs the exact _chunks_scaled arithmetic (same float ops, so the
+    stored chunks equal what the solve kernels would have computed
+    in-VMEM) along both contraction orientations of L and Dinv."""
+    Lh, Ll, Dih, Dil, dh, dl = fac
+
+    def mk(xh, xl, axis):
+        chunks, s = _chunks_scaled(xh, xl, axis=axis)
+        c = jnp.stack(chunks, axis=-3)
+        row = jnp.squeeze(s, axis=axis)
+        srow = jnp.zeros(xh.shape[:-2] + (8, xh.shape[-1]), jnp.float32)
+        srow = srow.at[..., 0, :].set(row)
+        return c, srow
+
+    lc1, ls1 = mk(Lh, Ll, -1)
+    dc1, ds1 = mk(Dih, Dil, -1)
+    lc0, ls0 = mk(Lh, Ll, -2)
+    dc0, ds0 = mk(Dih, Dil, -2)
+    return BandFacPre(lc1, ls1, dc1, ds1, lc0, ls0, dc0, ds0, dh, dl)
+
+
+def _ds_matmul_pre(ah, al, get_chunk, sb_row, transpose_b: bool = False):
+    """ds_matmul against a prechunked big operand.
+
+    ``get_chunk(t)`` returns the (B, B) bf16 chunk t of the operand
+    (chunked along its contraction axis); ``sb_row`` is the (1, N) f32
+    scale row.  Bit-identical to ds_matmul on the (hi, lo) operand:
+    same chunk values, and the per-group f32 pair-sum of two 128-term
+    grid-aligned partials equals the concatenated 256-term dot exactly
+    (both are integers <= 2^24 on the level's grid)."""
+    a, sa = _chunks_scaled(ah, al, axis=1)
+    if transpose_b:
+        dn = (((1,), (1,)), ((), ()))
+    else:
+        dn = (((1,), (0,)), ((), ()))
+    gsz = 2 if ah.shape[1] <= 128 else 1
+    sh = sl = None
+    for pairs in _LEVEL_PAIRS:
+        for g in range(0, len(pairs), gsz):
+            grp = pairs[g:g + gsz]
+            p = None
+            for s, t in grp:
+                q = jax.lax.dot_general(
+                    a[s], get_chunk(t), dn,
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+                p = q if p is None else p + q
+            if sh is None:
+                sh, sl = p, jnp.zeros_like(p)
+            else:
+                sh, e = _two_sum(sh, p)
+                sl = sl + e
+    sh, sl = _quick_renorm(sh, sl)
+    scale = sa * sb_row
+    return sh * scale, sl * scale
+
+
+def _fwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, dh_ref, dl_ref,
+                    xh_ref, xl_ref, wh_ref, wl_ref, c_yh, c_yl):
+    """Prechunked forward substitution (see _fwd_kernel)."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        c_yh[...] = jnp.zeros_like(c_yh)
+        c_yl[...] = jnp.zeros_like(c_yl)
+
+    th, tl = _ds_matmul_pre(c_yh[...], c_yl[...],
+                            lambda t: lc_ref[0, t], ls_ref[0, 0:1, :],
+                            transpose_b=True)
+    ah, al = ds_add(_rd(xh_ref), _rd(xl_ref), -th, -tl)
+    yh, yl = _ds_matmul_pre(ah, al, lambda t: dc_ref[0, t],
+                            dsc_ref[0, 0:1, :], transpose_b=True)
+    dh = _rd(dh_ref)[0:1]
+    dl = _rd(dl_ref)[0:1]
+    wh, wl = ds_div(yh, yl, jnp.broadcast_to(dh, (KP, B)),
+                    jnp.broadcast_to(dl, (KP, B)))
+    _wr(wh_ref, wh)
+    _wr(wl_ref, wl)
+    c_yh[...] = yh
+    c_yl[...] = yl
+
+
+def _bwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, wh_ref, wl_ref,
+                    zh_ref, zl_ref, c_zh, c_zl, c_lc, c_ls):
+    """Prechunked backward substitution (see _bwd_kernel); the scratch
+    carries z_{k+1} and the CHUNKS of L_{k+1}."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        c_zh[...] = jnp.zeros_like(c_zh)
+        c_zl[...] = jnp.zeros_like(c_zl)
+        c_lc[...] = jnp.zeros_like(c_lc)
+        c_ls[...] = jnp.zeros_like(c_ls)
+
+    th, tl = _ds_matmul_pre(c_zh[...], c_zl[...],
+                            lambda t: c_lc[pl.ds(t * B, B), :],
+                            c_ls[0:1, :], transpose_b=False)
+    ah, al = ds_add(_rd(wh_ref), _rd(wl_ref), -th, -tl)
+    zh, zl = _ds_matmul_pre(ah, al, lambda t: dc_ref[0, t],
+                            dsc_ref[0, 0:1, :], transpose_b=False)
+    _wr(zh_ref, zh)
+    _wr(zl_ref, zl)
+    c_zh[...] = zh
+    c_zl[...] = zl
+    c_lc[...] = lc_ref[0].reshape(_NCHUNK * B, B)
+    c_ls[...] = ls_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_solve_ds_pre(pre: BandFacPre, rhs_t, interpret: bool = False):
+    """band_solve_ds against a prechunked factor — bit-identical output,
+    no per-call chunk decomposition of the factor blocks."""
+    nb = pre.lc1.shape[0]
+    D = nb * B
+    assert rhs_t.shape == (KP, D), rhs_t.shape
+
+    xh = rhs_t.astype(jnp.float32)
+    xl = (rhs_t - xh.astype(jnp.float64)).astype(jnp.float32)
+
+    def tob(v):
+        return v.reshape(KP, nb, B).transpose(1, 0, 2)
+
+    xh, xl = tob(xh), tob(xl)
+    spec_c = pl.BlockSpec((1, _NCHUNK, B, B), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_x = pl.BlockSpec((1, KP, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rspec_c = pl.BlockSpec((1, _NCHUNK, B, B),
+                           lambda i: (nb - 1 - i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rspec_d = pl.BlockSpec((1, 8, B), lambda i: (nb - 1 - i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rspec_x = pl.BlockSpec((1, KP, B), lambda i: (nb - 1 - i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_sh = (jax.ShapeDtypeStruct((nb, KP, B), jnp.float32),) * 2
+    arb = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    with jax.enable_x64(False):
+        wh, wl = pl.pallas_call(
+            _fwd_kernel_pre, grid=(nb,),
+            in_specs=[spec_c, spec_d, spec_c, spec_d, spec_d, spec_d,
+                      spec_x, spec_x],
+            out_specs=(spec_x, spec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2,
+            compiler_params=arb,
+            interpret=interpret,
+        )(pre.lc1, pre.ls1, pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
+        zh, zl = pl.pallas_call(
+            _bwd_kernel_pre, grid=(nb,),
+            in_specs=[rspec_c, rspec_d, rspec_c, rspec_d,
+                      rspec_x, rspec_x],
+            out_specs=(rspec_x, rspec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2
+            + [pltpu.VMEM((_NCHUNK * B, B), jnp.bfloat16),
+               pltpu.VMEM((8, B), jnp.float32)],
+            compiler_params=arb,
+            interpret=interpret,
+        )(pre.lc0, pre.ls0, pre.dc0, pre.ds0, wh, wl)
     z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
     return z.transpose(1, 0, 2).reshape(KP, D)
 
