@@ -140,40 +140,30 @@ def test_gemv_kernel_interpret():
 
     @functools.lru_cache(maxsize=8)
     def interp_call(R, kp, npad):
-        # mirrors _gemv_call's 3-D grid (contraction innermost, ds
-        # accumulator in scratch), in interpret mode
+        # mirrors _gemv_call's row-tiled 2-D grid, in interpret mode
         nn = npad // g.B
-        nk = kp // g.B
         RB = min(R, g.RB_MAX)
         nr = R // RB
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
-        spec_a = pl.BlockSpec((1, g._NCHUNK, RB, g.B),
-                              lambda j, r, k: (k, 0, r, 0),
+        spec_a = pl.BlockSpec((RB, kp), lambda j, r: (r, 0),
                               memory_space=pltpu.VMEM)
-        spec_sa = pl.BlockSpec((1, 8, RB), lambda j, r, k: (k, 0, r),
-                               memory_space=pltpu.VMEM)
-        spec_b = pl.BlockSpec((1, g._NCHUNK, g.B, g.B),
-                              lambda j, r, k: (k, 0, 0, j),
+        spec_b = pl.BlockSpec((kp, g.B), lambda j, r: (0, j),
                               memory_space=pltpu.VMEM)
-        spec_sb = pl.BlockSpec((1, 8, g.B), lambda j, r, k: (k, 0, j),
-                               memory_space=pltpu.VMEM)
-        spec_o = pl.BlockSpec((1, RB, g.B), lambda j, r, k: (j, r, 0),
+        spec_o = pl.BlockSpec((1, RB, g.B), lambda j, r: (j, r, 0),
                               memory_space=pltpu.VMEM)
-        kern = functools.partial(g._gemv_kernel_pre, nk)
+        kern = functools.partial(g._gemv_kernel, RB)
 
-        def call(ac, sa, bc, sb):
+        def call(ah, al, bh, bl):
             with jax.enable_x64(False):
                 return pl.pallas_call(
-                    kern, grid=(nn, nr, nk),
-                    in_specs=[spec_a, spec_sa, spec_b, spec_sb],
+                    kern, grid=(nn, nr),
+                    in_specs=[spec_a, spec_a, spec_b, spec_b],
                     out_specs=(spec_o, spec_o),
                     out_shape=(jax.ShapeDtypeStruct(
                         (nn, nr * RB, g.B), jnp.float32),) * 2,
-                    scratch_shapes=[pltpu.VMEM((RB, g.B),
-                                               jnp.float32)] * 2,
                     interpret=True,
-                )(ac, sa, bc, sb)
+                )(ah, al, bh, bl)
 
         return call
 
@@ -596,46 +586,3 @@ def test_prechunked_matmul_bit_identical():
                                              s[0:1], False))(ah, al)
             np.testing.assert_array_equal(np.asarray(ph), np.asarray(rh))
             np.testing.assert_array_equal(np.asarray(plo), np.asarray(rl))
-
-
-def test_gemv_prechunk_step_bit_identical():
-    """_gemv_step_pre on prechunked blocks == ds_matmul + ds_add on the
-    (hi, lo) blocks, bitwise — the per-product kernel math is unchanged
-    by hoisting the chunk decomposition out of the kernel."""
-    from eicos_tpu.ops.pallas_band_ds import ds_matmul
-    from eicos_tpu.ops.pallas_gemm_ds import (_gemv_step_pre,
-                                              _prechunk_cols,
-                                              _prechunk_rows)
-    from eicos_tpu.ops.pallas_leaf_ds import ds_add
-
-    rng = np.random.default_rng(12)
-    R, kp, npad = 128, 384, 128
-    a = rng.standard_normal((R, kp)) * np.exp(
-        rng.uniform(-7, 7, (R, 1)))
-    Bm = rng.standard_normal((kp, npad)) * np.exp(
-        rng.uniform(-7, 7, (kp, 1)))
-    with jax.enable_x64(True):
-        ac, sa = jax.jit(_prechunk_rows)(jnp.asarray(a))
-        bc, sb = jax.jit(_prechunk_cols)(jnp.asarray(Bm))
-    ah, al = _split64(a)
-    bh, bl = _split64(Bm)
-    nk = kp // 128
-    with jax.enable_x64(False):
-        # reference: the original kernel's per-block ds_matmul + fold
-        rh = rl = jnp.zeros((R, npad), jnp.float32)
-        for k in range(nk):
-            ph, plo = jax.jit(ds_matmul)(
-                ah[:, 128 * k:128 * (k + 1)], al[:, 128 * k:128 * (k + 1)],
-                bh[128 * k:128 * (k + 1)], bl[128 * k:128 * (k + 1)])
-            rh, rl = jax.jit(ds_add)(rh, rl, ph, plo)
-        # prechunked step chain
-        th = tl = jnp.zeros((R, npad), jnp.float32)
-        for k in range(nk):
-            th, tl = jax.jit(_gemv_step_pre)(ac[k], sa[k, 0:1], bc[k],
-                                             sb[k, 0:1], th, tl)
-    np.testing.assert_array_equal(np.asarray(th), np.asarray(rh))
-    np.testing.assert_array_equal(np.asarray(tl), np.asarray(rl))
-    # sanity: the ds chain reproduces the f64 product
-    out = np.asarray(th, np.float64) + np.asarray(tl, np.float64)
-    ref = a @ Bm
-    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
