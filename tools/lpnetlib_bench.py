@@ -117,6 +117,10 @@ def main():
             st = st.with_band_plan(make_band_plan(st, prob.G, prob.A))
         if args.strategy in ("reduced", "banded", "normal"):
             st = st.with_gsplit(prob.G, prob.A)  # bound rows + matvec patterns
+        # device-resident problem: re-uploading G/A through the axon
+        # tunnel per solve would otherwise be timed as solve_ms
+        prob = jax.device_put(prob)
+
         def run():
             # force a device->host fetch: through the TPU tunnel,
             # block_until_ready alone does not guarantee completion
