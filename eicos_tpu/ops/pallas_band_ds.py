@@ -298,122 +298,11 @@ def _leaf_eliminate_blocked(Mh, Ml):
 
     Blocked-panel reorganization of _leaf_eliminate (identical
     elimination order and pivot clamp); L itself is not materialized
-    (the band kernel never uses it)."""
-    NP = B // P_LEAF
-    P = P_LEAF
-    colv = lax.broadcasted_iota(jnp.int32, (1, B), 1)
-    prow = lax.broadcasted_iota(jnp.int32, (P, B), 0)
-    pcol = lax.broadcasted_iota(jnp.int32, (P, B), 1)
-    eye_bb = (lax.broadcasted_iota(jnp.int32, (B, B), 0)
-              == lax.broadcasted_iota(jnp.int32, (B, B), 1))
-    tiny = jnp.float32(1e-30)
-
-    Xh = eye_bb.astype(jnp.float32)
-    Xl = jnp.zeros((B, B), jnp.float32)
-    dvh = jnp.zeros((1, B), jnp.float32)
-    dvl = jnp.zeros((1, B), jnp.float32)
-
-    for p in range(NP):
-        q = p * P
-        psel = (pcol - prow) == q      # [r, c] : c == q + r
-
-        def body(jj, carry, q=q, psel=psel):
-            Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl = carry
-            j = q + jj
-            rmask = prow == jj
-            cjh = jnp.sum(jnp.where(rmask, Pth, 0.0), axis=0,
-                          keepdims=True)
-            cjl = jnp.sum(jnp.where(rmask, Ptl, 0.0), axis=0,
-                          keepdims=True)
-            cmask = colv == j
-            djh = jnp.sum(jnp.where(cmask, cjh, 0.0))
-            djl = jnp.sum(jnp.where(cmask, cjl, 0.0))
-            djh = jnp.where(jnp.abs(djh) < tiny,
-                            jnp.where(djh < 0, -tiny, tiny), djh)
-            lh, ll = ds_div(cjh, cjl, jnp.broadcast_to(djh, (1, B)),
-                            jnp.broadcast_to(djl, (1, B)))
-            below = colv > j
-            lh = jnp.where(below, lh, 0.0)
-            ll = jnp.where(below, ll, 0.0)
-            # panel-rows part of the multiplier column, as (P, 1)
-            lph = jnp.sum(jnp.where(psel, jnp.broadcast_to(lh, (P, B)),
-                                    0.0), axis=1, keepdims=True)
-            lpl = jnp.sum(jnp.where(psel, jnp.broadcast_to(ll, (P, B)),
-                                    0.0), axis=1, keepdims=True)
-            # panel slice of the rank-1 update: Pt -= lp (d * l)^T
-            ldh, ldl = ds_mul(lh, ll, jnp.broadcast_to(djh, (1, B)),
-                              jnp.broadcast_to(djl, (1, B)))
-            Pth, Ptl = _ds_outer_sub(Pth, Ptl, lph, lpl, ldh, ldl)
-            # within-panel inverse rows: W -= lp * W[jj, :]
-            wjh = jnp.sum(jnp.where(rmask, Wph, 0.0), axis=0,
-                          keepdims=True)
-            wjl = jnp.sum(jnp.where(rmask, Wpl, 0.0), axis=0,
-                          keepdims=True)
-            Wph, Wpl = _ds_outer_sub(Wph, Wpl, lph, lpl, wjh, wjl)
-            Lth = jnp.where(rmask, jnp.broadcast_to(lh, (P, B)), Lth)
-            Ltl = jnp.where(rmask, jnp.broadcast_to(ll, (P, B)), Ltl)
-            dvh = jnp.where(cmask, djh, dvh)
-            dvl = jnp.where(cmask, djl, dvl)
-            return Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl
-
-        z_pb = jnp.zeros((P, B), jnp.float32)
-        carry = (Mh[q:q + P], Ml[q:q + P], Xh[q:q + P], Xl[q:q + P],
-                 z_pb, z_pb, dvh, dvl)
-        if _UNROLL_INNER:
-            for jj in range(P):
-                carry = body(np.int32(jj), carry)
-            (_, _, Wph, Wpl, Lth, Ltl, dvh, dvl) = carry
-        else:
-            (_, _, Wph, Wpl, Lth, Ltl, dvh, dvl) = _fori32(P, body, carry)
-
-        t0 = q + P
-        if t0 >= B:
-            Xh = jnp.concatenate([Xh[:q], Wph], axis=0)
-            Xl = jnp.concatenate([Xl[:q], Wpl], axis=0)
-            break
-        # panel pivots as a (P, 1) column
-        dpch = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvh, (P, B)),
-                                 0.0), axis=1, keepdims=True)
-        dpcl = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvl, (P, B)),
-                                 0.0), axis=1, keepdims=True)
-        # sqrt(|d|)-balance the GEMM operands with an EXACT power of two
-        # (value unchanged: e * (d/e^2) * e == d).  The chunk scheme's
-        # truncation is 2^-56 below max_j|a[j,i]| * max_j|b[j,c]|, with
-        # the maxes possibly at DIFFERENT j; the balanced operands
-        # e_j Lt[j,:] are the Cholesky-like factor whose magnitudes are
-        # comparable across j, which keeps that product close to the
-        # actual term size — measured to recover ~5 digits of factor
-        # accuracy on wide-spread quasidefinite diagonals.
-        e = _pow2_half(dpch)
-        einv = 1.0 / e
-        m2h = dpch * einv * einv      # exact power-of-two scalings
-        m2l = dpcl * einv * einv
-        Leh, Lel = Lth * e, Ltl * e
-        ldh, ldl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (P, B)),
-                          jnp.broadcast_to(m2l, (P, B)))
-        # shared a-operand: balanced Lt panel chunks; row scale as
-        # (T, 1) via the masked-identity transpose of the (1, B) scale
-        a, sa = _chunks_scaled(Leh, Lel, axis=0)
-        saT = jnp.sum(jnp.where(eye_bb, jnp.broadcast_to(sa, (B, B)),
-                                0.0), axis=1, keepdims=True)[t0:]
-        bU, sbU = _chunks_scaled(ldh, ldl, axis=0)
-        bX, sbX = _chunks_scaled(Wph * einv, Wpl * einv, axis=0)
-        # trailing Schur update: M[t0:] -= Lt^T (d * Lt)
-        uh, ul = _panel_dots(a, bU, t0)
-        sc = saT * sbU
-        Mth, Mtl = ds_add(Mh[t0:], Ml[t0:], -uh * sc, -ul * sc)
-        Mh = jnp.concatenate([Mh[:t0], Mth], axis=0)
-        Ml = jnp.concatenate([Ml[:t0], Mtl], axis=0)
-        # inverse rows: panel rows get W; rows below subtract Lt^T W
-        uh, ul = _panel_dots(a, bX, t0)
-        sc = saT * sbX
-        Xth, Xtl = ds_add(Xh[t0:], Xl[t0:], -uh * sc, -ul * sc)
-        head_h = [Xh[:q]] if q else []
-        head_l = [Xl[:q]] if q else []
-        Xh = jnp.concatenate(head_h + [Wph, Xth], axis=0)
-        Xl = jnp.concatenate(head_l + [Wpl, Xtl], axis=0)
-
-    return (dvh, dvl), (Xh, Xl)
+    (the band kernel never uses it).  Thin wrapper over the batched
+    variant at T = 1 — tests pin the two bit-identical
+    (tests/test_pallas_ds.py::test_batched_leaf_matches_single)."""
+    (dh, dl), (Xh, Xl) = _leaf_eliminate_blocked_b(Mh[None], Ml[None])
+    return (dh[0], dl[0]), (Xh[0], Xl[0])
 
 
 # ---------------- lane-tiled (batched) variants --------------------------
@@ -444,12 +333,12 @@ def _ds_matmul_b(ah, al, bh, bl, T: int, transpose_b: bool = True):
     a, sa = _chunks_scaled(ah, al, axis=2)            # sa: (T, M, 1)
     if transpose_b:
         b, sb = _chunks_scaled(bh, bl, axis=2)        # sb: (T, N, 1)
-        dn = (((1,), (1,)), ((), ()))
+        dn = (((2,), (2,)), ((0,), (0,)))
         cat_axis = 2
         sb_out = jnp.swapaxes(sb, 1, 2)
     else:
         b, sb = _chunks_scaled(bh, bl, axis=1)        # sb: (T, 1, N)
-        dn = (((1,), (0,)), ((), ()))
+        dn = (((2,), (1,)), ((0,), (0,)))
         cat_axis = 1
         sb_out = sb
     gsz = 2 if ah.shape[2] <= 128 else 1
@@ -463,11 +352,12 @@ def _ds_matmul_b(ah, al, bh, bl, T: int, transpose_b: bool = True):
                 A = jnp.concatenate([a[s] for s, _ in grp], axis=2)
                 Bc = jnp.concatenate([b[t] for _, t in grp],
                                      axis=cat_axis)
-            p = jnp.stack([
-                jax.lax.dot_general(A[t], Bc[t], dn,
+            # ONE lane-batched MXU dot (Mosaic supports dot_general
+            # batch dims in-kernel) — a static per-lane dot loop paid
+            # T x the dot issue/latency for identical per-lane math
+            p = jax.lax.dot_general(A, Bc, dn,
                                     precision=jax.lax.Precision.DEFAULT,
                                     preferred_element_type=jnp.float32)
-                for t in range(T)])
             if sh is None:
                 sh, sl = p, jnp.zeros_like(p)
             else:
@@ -480,17 +370,16 @@ def _ds_matmul_b(ah, al, bh, bl, T: int, transpose_b: bool = True):
 
 def _panel_dots_b(a_chunks, b_chunks, row_lo, T: int):
     """Batched _panel_dots: chunk lists of (T, P, B) slabs ->
-    (T, B - row_lo, B) double-single, contracting the P axis per lane."""
+    (T, B - row_lo, B) double-single, contracting the P axis per lane.
+    One lane-batched MXU dot per level (see _ds_matmul_b)."""
     sh = sl = None
-    dn = (((0,), (0,)), ((), ()))
+    dn = (((1,), (1,)), ((0,), (0,)))
     for pairs in _LEVEL_PAIRS:
         A = jnp.concatenate([a_chunks[s] for s, _ in pairs], axis=1)
         Bc = jnp.concatenate([b_chunks[t] for _, t in pairs], axis=1)
-        p = jnp.stack([
-            jax.lax.dot_general(A[t], Bc[t], dn,
+        p = jax.lax.dot_general(A, Bc, dn,
                                 precision=jax.lax.Precision.DEFAULT,
                                 preferred_element_type=jnp.float32)
-            for t in range(T)])
         p = p[:, row_lo:]
         if sh is None:
             sh, sl = p, jnp.zeros_like(p)
@@ -503,7 +392,14 @@ def _panel_dots_b(a_chunks, b_chunks, row_lo, T: int):
 def _leaf_eliminate_blocked_b(Mh, Ml):
     """Batched _leaf_eliminate_blocked: (T, B, B) double-single blocks ->
     ((T, 1, B) d, (T, B, B) Linv), identical per-lane arithmetic (the
-    batch axis only widens the vector ops)."""
+    batch axis only widens the vector ops).
+
+    Panel-local MAX-|diag| pivoting was implemented and REJECTED on
+    hardware here (see git history): it repaired adversarial single
+    blocks (tests) but made the 256-lane endgame edge WORSE on the
+    real trajectory (253/256 vs 255/256 OPTIMAL) at +16% factor cost —
+    the within-panel scope is too narrow to fix the band ORDER's f64
+    growth pathology, and reordering perturbs every healthy lane."""
     T = Mh.shape[0]
     NP = B // P_LEAF
     P = P_LEAF
@@ -525,13 +421,13 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
 
         def body(jj, carry, q=q, psel=psel):
             Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl = carry
-            j = q + jj
             rmask = prow == jj
+            cmask = colv == (q + jj)
+            keep = colv > (q + jj)
             cjh = jnp.sum(jnp.where(rmask, Pth, 0.0), axis=1,
                           keepdims=True)                  # (T, 1, B)
             cjl = jnp.sum(jnp.where(rmask, Ptl, 0.0), axis=1,
                           keepdims=True)
-            cmask = colv == j
             djh = jnp.sum(jnp.where(cmask, cjh, 0.0), axis=2,
                           keepdims=True)                  # (T, 1, 1)
             djl = jnp.sum(jnp.where(cmask, cjl, 0.0), axis=2,
@@ -541,9 +437,8 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
             djh_b = jnp.broadcast_to(djh, (T, 1, B))
             djl_b = jnp.broadcast_to(djl, (T, 1, B))
             lh, ll = ds_div(cjh, cjl, djh_b, djl_b)
-            below = colv > j
-            lh = jnp.where(below, lh, 0.0)
-            ll = jnp.where(below, ll, 0.0)
+            lh = jnp.where(keep, lh, 0.0)
+            ll = jnp.where(keep, ll, 0.0)
             lph = jnp.sum(jnp.where(psel, jnp.broadcast_to(lh, (T, P, B)),
                                     0.0), axis=2, keepdims=True)
             lpl = jnp.sum(jnp.where(psel, jnp.broadcast_to(ll, (T, P, B)),
@@ -663,6 +558,7 @@ def _band_factor_kernel(kdh_ref, kdl_ref, ksh_ref, ksl_ref,
     c_dil[...] = Xl
     c_dh[...] = jnp.broadcast_to(dh, c_dh.shape)
     c_dl[...] = jnp.broadcast_to(dl, c_dl.shape)
+
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
