@@ -122,13 +122,18 @@ def measure_tpu(st, batch, shared, factor_dtype="float64"):
     # (code 10, the ~1e-4 tier) is a solver failure for benchmarking
     # purposes and triggers the warning path
     n_ok = int(np.sum(codes == 0))
-    t0 = time.time()
+    times = []
     for _ in range(ROUNDS):
+        t0 = time.time()
         sols = bs.solve(sub)
         # force a real device->host fetch: through the TPU tunnel,
         # block_until_ready alone does not guarantee execution completed
         float(jax.device_get(sols.x[0, 0]))
-    elapsed = (time.time() - t0) / ROUNDS
+        times.append(time.time() - t0)
+    # best-of-rounds: the host/tunnel carries tenant noise (measured a
+    # -38% artifact right after a CPU-heavy job); min is the standard
+    # least-interference throughput estimate (cf. timeit)
+    elapsed = min(times)
     return nb / elapsed, n_ok, codes, nb
 
 
