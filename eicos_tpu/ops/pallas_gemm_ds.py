@@ -32,7 +32,8 @@ try:  # pragma: no cover
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-from .pallas_band_ds import ds_matmul, B
+from .pallas_band_ds import (ds_matmul, B, _chunks_scaled, _ds_matmul_pre,
+                             _NCHUNK)
 from .pallas_leaf_ds import _fori32, ds_add
 
 KP = 16  # rows of the small operand (bf16 sublane tile)
@@ -56,6 +57,53 @@ def _gemv_kernel(R, ah_ref, al_ref, bh_ref, bl_ref, oh_ref, ol_ref):
         return ds_add(ach, acl, ph, plo)
 
     zero = jnp.zeros((R, bh_ref.shape[-1]), jnp.float32)
+    oh, ol = _fori32(nk, step, (zero, zero))
+    oh_ref[...] = oh.reshape(oh_ref.shape)
+    ol_ref[...] = ol.reshape(ol_ref.shape)
+
+
+def _gemv_kernel_cached(R, ah_ref, al_ref, bh_ref, bl_ref,
+                        oh_ref, ol_ref, bc_ref, bs_ref):
+    """_gemv_kernel with the b-panel's bf16 chunk decomposition cached in
+    VMEM scratch across the row tiles of one column panel: grid is
+    (nn, nr) with r innermost, so the (Kp, B) b panel is constant while
+    r sweeps — the plain kernel re-chunked it per row tile (nr-fold
+    redundant VPU work on square GEMMs, ~17% of the step; measured as
+    the dense-LDL-recursion headroom on LPnetlib).  Bit-identical to
+    _gemv_kernel: same _chunks_scaled values, and _ds_matmul_pre's
+    per-group pair sums equal ds_matmul's concatenated dots exactly."""
+    r = pl.program_id(1)
+    Kp = ah_ref.shape[-1]
+    nk = Kp // B
+    W = bh_ref.shape[-1]
+
+    @pl.when(r == 0)
+    def _cache():
+        def cstep(k, _):
+            bsl = (slice(None),) * (bh_ref.ndim - 2) + (pl.ds(k * B, B),
+                                                        slice(None))
+            Bh = bh_ref[bsl].reshape(B, W)
+            Bl = bl_ref[bsl].reshape(B, W)
+            chunks, s = _chunks_scaled(Bh, Bl, axis=0)
+            for t in range(_NCHUNK):
+                bc_ref[pl.ds((k * _NCHUNK + t) * B, B), :] = chunks[t]
+            bs_ref[pl.ds(k, 1), :] = s
+            return 0
+
+        _fori32(nk, cstep, 0)
+
+    def step(k, acc):
+        ach, acl = acc
+        asl = (slice(None),) * (ah_ref.ndim - 1) + (pl.ds(k * B, B),)
+        Ah = ah_ref[asl].reshape(R, B)
+        Al = al_ref[asl].reshape(R, B)
+        ph, plo = _ds_matmul_pre(
+            Ah, Al,
+            lambda t, k=k: bc_ref[pl.ds((k * _NCHUNK + t) * B, B), :],
+            bs_ref[pl.ds(k, 1), :])
+        return ds_add(ach, acl, ph, plo)
+
+    zero = jnp.zeros((R, W), jnp.float32)
     oh, ol = _fori32(nk, step, (zero, zero))
     oh_ref[...] = oh.reshape(oh_ref.shape)
     ol_ref[...] = ol.reshape(ol_ref.shape)
@@ -152,7 +200,24 @@ def _gemv_call(R: int, kp: int, npad: int):
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, RB, B), lambda j, r: (j, r, 0),
                           memory_space=pltpu.VMEM)
-    kern = functools.partial(_gemv_kernel, RB)
+    # the chunk cache pays only when row tiles revisit the same b panel
+    # (nr > 1), and its scratch must fit beside the double-buffered
+    # operand blocks in the 16 MB per-program VMEM budget
+    vmem = (_NCHUNK * kp * B * 2 + kp * B * 4        # chunk cache + bs
+            + 2 * 2 * (RB * kp + kp * B) * 4         # dbuf'd (hi, lo) in
+            + 4 * RB * B * 4)
+    if nr > 1 and vmem < 15 * 2 ** 20:
+        kern = functools.partial(_gemv_kernel_cached, RB)
+        scratch = [pltpu.VMEM((_NCHUNK * kp, B), jnp.bfloat16),
+                   pltpu.VMEM((kp // B, B), jnp.float32)]
+        # the cache's validity across row tiles needs the documented
+        # sequential row-major grid order
+        params = dict(compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")))
+    else:
+        kern = functools.partial(_gemv_kernel, RB)
+        scratch = []
+        params = {}
 
     def call(ah, al, bh, bl):
         with jax.enable_x64(False):
@@ -163,6 +228,8 @@ def _gemv_call(R: int, kp: int, npad: int):
                 out_specs=(spec_o, spec_o),
                 out_shape=(jax.ShapeDtypeStruct((nn, nr * RB, B),
                                                 jnp.float32),) * 2,
+                scratch_shapes=scratch,
+                **params,
             )(ah, al, bh, bl)
 
     return jax.jit(call)

@@ -177,6 +177,62 @@ def test_gemv_kernel_interpret():
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
 
 
+def test_gemv_cached_kernel_bit_identical():
+    """The b-panel chunk-caching GEMV kernel (_gemv_kernel_cached —
+    the nr > 1 square-GEMM path) is bit-identical to the plain kernel:
+    same _chunks_scaled values, and _ds_matmul_pre's per-group f32
+    pair sums equal ds_matmul's concatenated 256-term dots exactly."""
+    import functools
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from eicos_tpu.ops import pallas_gemm_ds as g
+
+    if not g._HAS_PALLAS:
+        pytest.skip("pallas not importable")
+    rng = np.random.default_rng(9)
+    R, kp, npad = 256, 256, 256     # nr = 2: exercises the cache reuse
+    A = rng.standard_normal((R, kp)) * np.exp(rng.uniform(-6, 6, (R, 1)))
+    Bm = rng.standard_normal((kp, npad)) * np.exp(
+        rng.uniform(-6, 6, (kp, 1)))
+    ah, al = _split64(A)
+    bh, bl = _split64(Bm)
+
+    nn = npad // g.B
+    RB = min(R, g.RB_MAX)
+    nr = R // RB
+    spec_a = pl.BlockSpec((RB, kp), lambda j, r: (r, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((kp, g.B), lambda j, r: (0, j),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, RB, g.B), lambda j, r: (j, r, 0),
+                          memory_space=pltpu.VMEM)
+
+    def run(kern, scratch):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                functools.partial(kern, RB), grid=(nn, nr),
+                in_specs=[spec_a, spec_a, spec_b, spec_b],
+                out_specs=(spec_o, spec_o),
+                out_shape=(jax.ShapeDtypeStruct(
+                    (nn, nr * RB, g.B), jnp.float32),) * 2,
+                scratch_shapes=scratch,
+                interpret=True,
+            )(ah, al, bh, bl)
+
+    oh0, ol0 = run(g._gemv_kernel, [])
+    oh1, ol1 = run(g._gemv_kernel_cached,
+                   [pltpu.VMEM((g._NCHUNK * kp, g.B), jnp.bfloat16),
+                    pltpu.VMEM((kp // g.B, g.B), jnp.float32)])
+    assert np.array_equal(np.asarray(oh0), np.asarray(oh1))
+    assert np.array_equal(np.asarray(ol0), np.asarray(ol1))
+    got = (np.asarray(oh1, np.float64)
+           + np.asarray(ol1, np.float64)).transpose(1, 0, 2).reshape(
+               R, npad)
+    ref = A @ Bm
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
 def test_blocked_leaf_elimination():
     """The blocked-panel leaf (16-column panels + small-K chunked MXU
     trailing updates, ops/pallas_band_ds._leaf_eliminate_blocked) agrees
