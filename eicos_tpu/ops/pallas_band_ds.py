@@ -878,13 +878,13 @@ def band_solve_ds(fac, rhs_t, interpret: bool = False):
 
 class BandFacPre(NamedTuple):
     """Prechunked bwb=1 banded factor (see prechunk_band_fac)."""
-    lc1: jax.Array   # L chunks along axis -1   (nb, 7, B, B) bf16
+    lc1: tuple       # L chunks along axis -1: 7 x (nb, B, B) bf16
     ls1: jax.Array   # matching scale rows      (nb, 8, B) f32 (row 0)
-    dc1: jax.Array   # Dinv chunks along axis -1
+    dc1: tuple       # Dinv chunks along axis -1
     ds1: jax.Array
-    lc0: jax.Array   # L chunks along axis -2 (the bwd orientation)
+    lc0: tuple       # L chunks along axis -2 (the bwd orientation)
     ls0: jax.Array
-    dc0: jax.Array   # Dinv chunks along axis -2
+    dc0: tuple       # Dinv chunks along axis -2
     ds0: jax.Array
     dh: jax.Array    # pivot rows, as in band_factor_ds
     dl: jax.Array
@@ -895,16 +895,19 @@ def prechunk_band_fac(fac) -> BandFacPre:
 
     Runs the exact _chunks_scaled arithmetic (same float ops, so the
     stored chunks equal what the solve kernels would have computed
-    in-VMEM) along both contraction orientations of L and Dinv."""
+    in-VMEM) along both contraction orientations of L and Dinv.  The
+    chunks stay SEPARATE arrays (tuples of 7): a stacked (nb, 7, B, B)
+    layout forced XLA to materialize the stack as three 59 MB layout
+    copies per IPM iteration at 128 lanes (~4.4 ms/iter, traced); the
+    solve kernels take the chunks as individual operands instead."""
     Lh, Ll, Dih, Dil, dh, dl = fac
 
     def mk(xh, xl, axis):
         chunks, s = _chunks_scaled(xh, xl, axis=axis)
-        c = jnp.stack(chunks, axis=-3)
         row = jnp.squeeze(s, axis=axis)
         srow = jnp.zeros(xh.shape[:-2] + (8, xh.shape[-1]), jnp.float32)
         srow = srow.at[..., 0, :].set(row)
-        return c, srow
+        return tuple(chunks), srow
 
     lc1, ls1 = mk(Lh, Ll, -1)
     dc1, ds1 = mk(Dih, Dil, -1)
@@ -949,9 +952,16 @@ def _ds_matmul_pre(ah, al, get_chunk, sb_row, transpose_b: bool = False):
     return sh * scale, sl * scale
 
 
-def _fwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, dh_ref, dl_ref,
-                    xh_ref, xl_ref, wh_ref, wl_ref, c_yh, c_yl):
-    """Prechunked forward substitution (see _fwd_kernel)."""
+def _fwd_kernel_pre(*a):
+    """Prechunked forward substitution (see _fwd_kernel).  The factor
+    chunks arrive as 7 separate (1, B, B) refs per operand (stacking
+    them at the XLA level cost a layout copy per call)."""
+    lc = a[0:_NCHUNK]
+    ls_ref = a[_NCHUNK]
+    dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
+    dsc_ref = a[2 * _NCHUNK + 1]
+    (dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
+     c_yh, c_yl) = a[2 * _NCHUNK + 2:]
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -960,10 +970,10 @@ def _fwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, dh_ref, dl_ref,
         c_yl[...] = jnp.zeros_like(c_yl)
 
     th, tl = _ds_matmul_pre(c_yh[...], c_yl[...],
-                            lambda t: lc_ref[0, t], ls_ref[0, 0:1, :],
+                            lambda t: lc[t][0], ls_ref[0, 0:1, :],
                             transpose_b=True)
     ah, al = ds_add(_rd(xh_ref), _rd(xl_ref), -th, -tl)
-    yh, yl = _ds_matmul_pre(ah, al, lambda t: dc_ref[0, t],
+    yh, yl = _ds_matmul_pre(ah, al, lambda t: dc[t][0],
                             dsc_ref[0, 0:1, :], transpose_b=True)
     dh = _rd(dh_ref)[0:1]
     dl = _rd(dl_ref)[0:1]
@@ -975,10 +985,16 @@ def _fwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, dh_ref, dl_ref,
     c_yl[...] = yl
 
 
-def _bwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, wh_ref, wl_ref,
-                    zh_ref, zl_ref, c_zh, c_zl, c_lc, c_ls):
+def _bwd_kernel_pre(*a):
     """Prechunked backward substitution (see _bwd_kernel); the scratch
-    carries z_{k+1} and the CHUNKS of L_{k+1}."""
+    carries z_{k+1} and the CHUNKS of L_{k+1}.  Chunks arrive as 7
+    separate refs per operand (see _fwd_kernel_pre)."""
+    lc = a[0:_NCHUNK]
+    ls_ref = a[_NCHUNK]
+    dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
+    dsc_ref = a[2 * _NCHUNK + 1]
+    (wh_ref, wl_ref, zh_ref, zl_ref,
+     c_zh, c_zl, c_lc, c_ls) = a[2 * _NCHUNK + 2:]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -992,13 +1008,14 @@ def _bwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, wh_ref, wl_ref,
                             lambda t: c_lc[pl.ds(t * B, B), :],
                             c_ls[0:1, :], transpose_b=False)
     ah, al = ds_add(_rd(wh_ref), _rd(wl_ref), -th, -tl)
-    zh, zl = _ds_matmul_pre(ah, al, lambda t: dc_ref[0, t],
+    zh, zl = _ds_matmul_pre(ah, al, lambda t: dc[t][0],
                             dsc_ref[0, 0:1, :], transpose_b=False)
     _wr(zh_ref, zh)
     _wr(zl_ref, zl)
     c_zh[...] = zh
     c_zl[...] = zl
-    c_lc[...] = lc_ref[0].reshape(_NCHUNK * B, B)
+    for t in range(_NCHUNK):
+        c_lc[pl.ds(t * B, B), :] = lc[t][0]
     c_ls[...] = ls_ref[0]
 
 
@@ -1006,7 +1023,7 @@ def _bwd_kernel_pre(lc_ref, ls_ref, dc_ref, dsc_ref, wh_ref, wl_ref,
 def band_solve_ds_pre(pre: BandFacPre, rhs_t, interpret: bool = False):
     """band_solve_ds against a prechunked factor — bit-identical output,
     no per-call chunk decomposition of the factor blocks."""
-    nb = pre.lc1.shape[0]
+    nb = pre.lc1[0].shape[0]
     D = nb * B
     assert rhs_t.shape == (KP, D), rhs_t.shape
 
@@ -1017,15 +1034,14 @@ def band_solve_ds_pre(pre: BandFacPre, rhs_t, interpret: bool = False):
         return v.reshape(KP, nb, B).transpose(1, 0, 2)
 
     xh, xl = tob(xh), tob(xl)
-    spec_c = pl.BlockSpec((1, _NCHUNK, B, B), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
+    spec_bb = pl.BlockSpec((1, B, B), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_x = pl.BlockSpec((1, KP, B), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    rspec_c = pl.BlockSpec((1, _NCHUNK, B, B),
-                           lambda i: (nb - 1 - i, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
+    rspec_bb = pl.BlockSpec((1, B, B), lambda i: (nb - 1 - i, 0, 0),
+                            memory_space=pltpu.VMEM)
     rspec_d = pl.BlockSpec((1, 8, B), lambda i: (nb - 1 - i, 0, 0),
                            memory_space=pltpu.VMEM)
     rspec_x = pl.BlockSpec((1, KP, B), lambda i: (nb - 1 - i, 0, 0),
@@ -1035,24 +1051,25 @@ def band_solve_ds_pre(pre: BandFacPre, rhs_t, interpret: bool = False):
     with jax.enable_x64(False):
         wh, wl = pl.pallas_call(
             _fwd_kernel_pre, grid=(nb,),
-            in_specs=[spec_c, spec_d, spec_c, spec_d, spec_d, spec_d,
-                      spec_x, spec_x],
+            in_specs=[spec_bb] * _NCHUNK + [spec_d]
+            + [spec_bb] * _NCHUNK + [spec_d] + [spec_d] * 2
+            + [spec_x] * 2,
             out_specs=(spec_x, spec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2,
             compiler_params=arb,
             interpret=interpret,
-        )(pre.lc1, pre.ls1, pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
+        )(*pre.lc1, pre.ls1, *pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
         zh, zl = pl.pallas_call(
             _bwd_kernel_pre, grid=(nb,),
-            in_specs=[rspec_c, rspec_d, rspec_c, rspec_d,
-                      rspec_x, rspec_x],
+            in_specs=[rspec_bb] * _NCHUNK + [rspec_d]
+            + [rspec_bb] * _NCHUNK + [rspec_d] + [rspec_x] * 2,
             out_specs=(rspec_x, rspec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2
             + [pltpu.VMEM((_NCHUNK * B, B), jnp.bfloat16),
                pltpu.VMEM((8, B), jnp.float32)],
             compiler_params=arb,
             interpret=interpret,
-        )(pre.lc0, pre.ls0, pre.dc0, pre.ds0, wh, wl)
+        )(*pre.lc0, pre.ls0, *pre.dc0, pre.ds0, wh, wl)
     z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
     return z.transpose(1, 0, 2).reshape(KP, D)
 

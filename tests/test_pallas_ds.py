@@ -623,22 +623,57 @@ def test_prechunked_matmul_bit_identical():
     ah, al = _split64(a)
     with jax.enable_x64(False):
         pre = jax.jit(prechunk_band_fac)(fac)
-        assert pre.lc1.dtype == jnp.bfloat16
+        assert len(pre.lc1) == 7 and pre.lc1[0].dtype == jnp.bfloat16
         assert pre.ls1.shape == (nb, 8, 128)
         for k in range(nb):
             # fwd orientation: a @ L_k^T (chunks along axis -1)
             rh, rl = jax.jit(
                 lambda *x: ds_matmul(*x, transpose_b=True))(
                 ah, al, Lh[k], Ll[k])
-            ph, plo = jax.jit(lambda av, bv, c=pre.lc1[k], s=pre.ls1[k]:
+            c = tuple(x[k] for x in pre.lc1)
+            ph, plo = jax.jit(lambda av, bv, c=c, s=pre.ls1[k]:
                               _ds_matmul_pre(av, bv, lambda t: c[t],
                                              s[0:1], True))(ah, al)
             np.testing.assert_array_equal(np.asarray(ph), np.asarray(rh))
             np.testing.assert_array_equal(np.asarray(plo), np.asarray(rl))
             # bwd orientation: a @ Dinv_k (chunks along axis -2)
             rh, rl = jax.jit(ds_matmul)(ah, al, Dih[k], Dil[k])
-            ph, plo = jax.jit(lambda av, bv, c=pre.dc0[k], s=pre.ds0[k]:
+            c = tuple(x[k] for x in pre.dc0)
+            ph, plo = jax.jit(lambda av, bv, c=c, s=pre.ds0[k]:
                               _ds_matmul_pre(av, bv, lambda t: c[t],
                                              s[0:1], False))(ah, al)
             np.testing.assert_array_equal(np.asarray(ph), np.asarray(rh))
             np.testing.assert_array_equal(np.asarray(plo), np.asarray(rl))
+
+
+def test_split_operand_pre_solve_bit_identical():
+    """band_solve_ds_pre (factor chunks as 7 separate operands — the
+    stacked layout cost XLA three 59 MB copies per IPM iteration) is
+    bit-identical to band_solve_ds in interpret mode.  The interpreter's
+    grid-scratch precision quirk affects both kernels equally, so the
+    comparison is still exact."""
+    from eicos_tpu.ops.pallas_band_ds import (_HAS_PALLAS, B, KP,
+                                              _band_factor_ds_impl,
+                                              band_solve_ds,
+                                              band_solve_ds_pre,
+                                              prechunk_band_fac)
+
+    if not _HAS_PALLAS:
+        pytest.skip("pallas not importable")
+    rng = np.random.default_rng(3)
+    nb = 4
+    D = nb * B
+    Kd = np.zeros((nb, B, B))
+    Ks = np.zeros((nb, B, B))
+    for k in range(nb):
+        M = rng.standard_normal((B, B))
+        Kd[k] = M @ M.T + 50 * np.eye(B)
+        if k:
+            Ks[k] = 0.1 * rng.standard_normal((B, B))
+    fac = _band_factor_ds_impl(jnp.asarray(Kd), jnp.asarray(Ks),
+                               interpret=True)
+    rhs = rng.standard_normal((KP, D))
+    x0 = band_solve_ds(fac, jnp.asarray(rhs), interpret=True)
+    pre = prechunk_band_fac(fac)
+    x1 = band_solve_ds_pre(pre, jnp.asarray(rhs), interpret=True)
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))

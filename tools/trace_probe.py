@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--hlo", default="",
                     help="dump optimized HLO text to this path")
     ap.add_argument("--logdir", default="/tmp/jtrace")
+    ap.add_argument("--nitref", type=int, default=9,
+                    help="iterative-refinement trip cap (settings.nitref)")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +37,7 @@ def main():
     from eicos_tpu.settings import Settings
 
     st, probs, batch, shared = bench.build_batch()
-    settings = Settings(kkt_strategy="banded")
+    settings = Settings(kkt_strategy="banded", nitref=args.nitref)
     bs = BatchedSolver(st, settings, shared=shared)
     sub = bench._slice_batch(batch, shared, args.lanes)
 
