@@ -1020,7 +1020,8 @@ def _bwd_kernel_pre(*a):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def band_solve_ds_pre(pre: BandFacPre, rhs_t, interpret: bool = False):
+def _band_solve_ds_pre_impl(pre: BandFacPre, rhs_t,
+                            interpret: bool = False):
     """band_solve_ds against a prechunked factor — bit-identical output,
     no per-call chunk decomposition of the factor blocks."""
     nb = pre.lc1[0].shape[0]
@@ -1072,6 +1073,248 @@ def band_solve_ds_pre(pre: BandFacPre, rhs_t, interpret: bool = False):
         )(*pre.lc0, pre.ls0, *pre.dc0, pre.ds0, wh, wl)
     z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
     return z.transpose(1, 0, 2).reshape(KP, D)
+
+
+# ------------------------------- lane-tiled prechunked solves (bwb=1)
+# With the factor chunking hoisted out (prechunk_band_fac), each solve
+# grid step is a handful of small MXU dots + TwoSum folds on (KP, B)
+# slabs — measured dominated by per-grid-step overhead, not math, at
+# 128 vmapped lanes (~4-5 ms/call where the HBM-stream bound is ~1.5).
+# Processing T_SOLVE lanes per grid program amortizes that overhead the
+# same way the lane-tiled factor does: the vector ops widen to
+# (T, KP, B) slabs and the dots batch over the lane axis (Mosaic
+# supports dot_general batch dims in-kernel).  Per-lane arithmetic is
+# IDENTICAL: batched dots compute the same per-lane products, and all
+# elementwise ds ops are lane-independent — outputs are bit-identical
+# to the per-lane kernels (pinned by test).
+
+T_SOLVE = 8
+
+
+def _ds_matmul_pre_b(ah, al, get_chunk, sb_row, T: int,
+                     transpose_b: bool = False):
+    """Lane-batched _ds_matmul_pre: ``ah, al`` (T, R, K) f32 rows,
+    ``get_chunk(t)`` -> (T, B, B) bf16 chunk t of the per-lane operand,
+    ``sb_row`` (T, 1, N) f32 scale rows.  Same per-lane arithmetic as
+    _ds_matmul_pre (the batched dot computes the per-lane dots; the
+    group pair-sums and TwoSum folds are elementwise)."""
+    a, sa = _chunks_scaled(ah, al, axis=2)            # sa: (T, R, 1)
+    if transpose_b:
+        dn = (((2,), (2,)), ((0,), (0,)))
+    else:
+        dn = (((2,), (1,)), ((0,), (0,)))
+    gsz = 2 if ah.shape[2] <= 128 else 1
+    sh = sl = None
+    for pairs in _LEVEL_PAIRS:
+        for g in range(0, len(pairs), gsz):
+            grp = pairs[g:g + gsz]
+            p = None
+            for s, t in grp:
+                q = jax.lax.dot_general(
+                    a[s], get_chunk(t), dn,
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+                p = q if p is None else p + q
+            if sh is None:
+                sh, sl = p, jnp.zeros_like(p)
+            else:
+                sh, e = _two_sum(sh, p)
+                sl = sl + e
+    sh, sl = _quick_renorm(sh, sl)
+    scale = sa * sb_row
+    return sh * scale, sl * scale
+
+
+def _make_fwd_kernel_pre_b(T: int):
+    def kern(*a):
+        lc = a[0:_NCHUNK]                    # (T, 1, B, B) refs
+        ls_ref = a[_NCHUNK]                  # (T, 1, 8, B)
+        dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
+        dsc_ref = a[2 * _NCHUNK + 1]
+        (dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
+         c_yh, c_yl) = a[2 * _NCHUNK + 2:]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _init():
+            c_yh[...] = jnp.zeros_like(c_yh)
+            c_yl[...] = jnp.zeros_like(c_yl)
+
+        th, tl = _ds_matmul_pre_b(
+            _bT(c_yh[...], T), _bT(c_yl[...], T),
+            lambda t: lc[t][...].reshape(T, B, B),
+            ls_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
+            transpose_b=True)
+        xh = xh_ref[...].reshape(T, KP, B)
+        xl = xl_ref[...].reshape(T, KP, B)
+        ah2, al2 = ds_add(xh, xl, -th, -tl)
+        yh, yl = _ds_matmul_pre_b(
+            ah2, al2, lambda t: dc[t][...].reshape(T, B, B),
+            dsc_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
+            transpose_b=True)
+        dh = dh_ref[...].reshape(T, 8, B)[:, 0:1, :]     # (T, 1, B)
+        dl = dl_ref[...].reshape(T, 8, B)[:, 0:1, :]
+        wh, wl = ds_div(yh, yl, jnp.broadcast_to(dh, (T, KP, B)),
+                        jnp.broadcast_to(dl, (T, KP, B)))
+        _wr(wh_ref, wh)
+        _wr(wl_ref, wl)
+        c_yh[...] = yh.reshape(T * KP, B)
+        c_yl[...] = yl.reshape(T * KP, B)
+
+    return kern
+
+
+def _make_bwd_kernel_pre_b(T: int):
+    def kern(*a):
+        lc = a[0:_NCHUNK]
+        ls_ref = a[_NCHUNK]
+        dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
+        dsc_ref = a[2 * _NCHUNK + 1]
+        (wh_ref, wl_ref, zh_ref, zl_ref,
+         c_zh, c_zl, c_lc, c_ls) = a[2 * _NCHUNK + 2:]
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            c_zh[...] = jnp.zeros_like(c_zh)
+            c_zl[...] = jnp.zeros_like(c_zl)
+            c_lc[...] = jnp.zeros_like(c_lc)
+            c_ls[...] = jnp.zeros_like(c_ls)
+
+        # chunk-major scratch layout: chunk t of the carried L_{k+1}
+        # occupies rows [t*T*B, (t+1)*T*B), lanes contiguous within
+        th, tl = _ds_matmul_pre_b(
+            _bT(c_zh[...], T), _bT(c_zl[...], T),
+            lambda t: c_lc[pl.ds(t * T * B, T * B), :].reshape(T, B, B),
+            _bT(c_ls[...], T)[:, 0:1, :], T, transpose_b=False)
+        wh = wh_ref[...].reshape(T, KP, B)
+        wl = wl_ref[...].reshape(T, KP, B)
+        ah2, al2 = ds_add(wh, wl, -th, -tl)
+        zh, zl = _ds_matmul_pre_b(
+            ah2, al2, lambda t: dc[t][...].reshape(T, B, B),
+            dsc_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
+            transpose_b=False)
+        _wr(zh_ref, zh)
+        _wr(zl_ref, zl)
+        c_zh[...] = zh.reshape(T * KP, B)
+        c_zl[...] = zl.reshape(T * KP, B)
+        for t in range(_NCHUNK):
+            c_lc[pl.ds(t * T * B, T * B), :] = (
+                lc[t][...].reshape(T * B, B))
+        c_ls[...] = ls_ref[...].reshape(T * 8, B)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
+                          interpret: bool = False):
+    """Lane-tiled band_solve_ds_pre: every ``pre`` leaf carries a
+    leading lane axis L, ``rhs_t`` is (L, KP, D).  Grid (L/T, nb) with
+    T lanes per program; bit-identical per-lane output.  Lanes pad to
+    a multiple of T (pivots pad to 1 so the padded lanes stay finite)."""
+    L = rhs_t.shape[0]
+    nb = pre.lc1[0].shape[1]
+    D = nb * B
+    assert rhs_t.shape == (L, KP, D), rhs_t.shape
+    Lp = -(-L // T) * T
+    if Lp != L:
+        def pad(x, one=False):
+            ext = (Lp - L,) + x.shape[1:]
+            fill = jnp.ones(ext, x.dtype) if one else jnp.zeros(ext,
+                                                                x.dtype)
+            return jnp.concatenate([x, fill], axis=0)
+
+        pre = BandFacPre(
+            tuple(pad(c) for c in pre.lc1), pad(pre.ls1, one=True),
+            tuple(pad(c) for c in pre.dc1), pad(pre.ds1, one=True),
+            tuple(pad(c) for c in pre.lc0), pad(pre.ls0, one=True),
+            tuple(pad(c) for c in pre.dc0), pad(pre.ds0, one=True),
+            pad(pre.dh, one=True), pad(pre.dl))
+        rhs_t = jnp.concatenate(
+            [rhs_t, jnp.zeros((Lp - L, KP, D), rhs_t.dtype)], axis=0)
+
+    xh = rhs_t.astype(jnp.float32)
+    xl = (rhs_t - xh.astype(jnp.float64)).astype(jnp.float32)
+
+    def tob(v):
+        return v.reshape(Lp, KP, nb, B).transpose(0, 2, 1, 3)
+
+    xh, xl = tob(xh), tob(xl)
+    spec_bb = pl.BlockSpec((T, 1, B, B), lambda t, k: (t, k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((T, 1, 8, B), lambda t, k: (t, k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_x = pl.BlockSpec((T, 1, KP, B), lambda t, k: (t, k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rspec_bb = pl.BlockSpec((T, 1, B, B),
+                            lambda t, k: (t, nb - 1 - k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    rspec_d = pl.BlockSpec((T, 1, 8, B),
+                           lambda t, k: (t, nb - 1 - k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rspec_x = pl.BlockSpec((T, 1, KP, B),
+                           lambda t, k: (t, nb - 1 - k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_sh = (jax.ShapeDtypeStruct((Lp, nb, KP, B), jnp.float32),) * 2
+    arb = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+    with jax.enable_x64(False):
+        wh, wl = pl.pallas_call(
+            _make_fwd_kernel_pre_b(T), grid=(Lp // T, nb),
+            in_specs=[spec_bb] * _NCHUNK + [spec_d]
+            + [spec_bb] * _NCHUNK + [spec_d] + [spec_d] * 2
+            + [spec_x] * 2,
+            out_specs=(spec_x, spec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((T * KP, B), jnp.float32)] * 2,
+            compiler_params=arb,
+            interpret=interpret,
+        )(*pre.lc1, pre.ls1, *pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
+        zh, zl = pl.pallas_call(
+            _make_bwd_kernel_pre_b(T), grid=(Lp // T, nb),
+            in_specs=[rspec_bb] * _NCHUNK + [rspec_d]
+            + [rspec_bb] * _NCHUNK + [rspec_d] + [rspec_x] * 2,
+            out_specs=(rspec_x, rspec_x), out_shape=out_sh,
+            scratch_shapes=[pltpu.VMEM((T * KP, B), jnp.float32)] * 2
+            + [pltpu.VMEM((_NCHUNK * T * B, B), jnp.bfloat16),
+               pltpu.VMEM((T * 8, B), jnp.float32)],
+            compiler_params=arb,
+            interpret=interpret,
+        )(*pre.lc0, pre.ls0, *pre.dc0, pre.ds0, wh, wl)
+    z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
+    z = z.transpose(0, 2, 1, 3).reshape(Lp, KP, D)
+    return z[:L]
+
+
+try:  # pragma: no cover - custom_batching present in all supported jax
+    from jax import custom_batching as _cb2
+
+    @_cb2.custom_vmap
+    def _band_solve_ds_pre_cv(pre: BandFacPre, rhs_t):
+        return _band_solve_ds_pre_impl(pre, rhs_t)
+
+    @_band_solve_ds_pre_cv.def_vmap
+    def _band_solve_pre_vmap(axis_size, in_batched, pre, rhs_t):
+        leaves = jax.tree_util.tree_leaves(in_batched)
+        if all(leaves) and rhs_t.ndim == 3:
+            out = _band_solve_pre_batch(pre, rhs_t)
+        else:
+            axes = jax.tree_util.tree_map(lambda b: 0 if b else None,
+                                          in_batched)
+            out = jax.vmap(_band_solve_ds_pre_impl,
+                           in_axes=tuple(axes))(pre, rhs_t)
+        return out, True
+
+    def band_solve_ds_pre(pre: BandFacPre, rhs_t,
+                          interpret: bool = False):
+        """Prechunked bwb=1 band solve.  Under the solver's lane vmap
+        the batch collapses into the lane-tiled kernels
+        (_band_solve_pre_batch, T_SOLVE lanes per grid program)."""
+        if interpret:
+            return _band_solve_ds_pre_impl(pre, rhs_t, interpret=True)
+        return _band_solve_ds_pre_cv(pre, rhs_t)
+except Exception:  # pragma: no cover
+    band_solve_ds_pre = _band_solve_ds_pre_impl
 
 
 # --------------------------------------------- factor kernel (bwb 2..8)
