@@ -399,7 +399,18 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
     blocks (tests) but made the 256-lane endgame edge WORSE on the
     real trajectory (253/256 vs 255/256 OPTIMAL) at +16% factor cost —
     the within-panel scope is too narrow to fix the band ORDER's f64
-    growth pathology, and reordering perturbs every healthy lane."""
+    growth pathology, and reordering perturbs every healthy lane.
+
+    Deferring the in-loop W substitution to a per-panel Newton-Schulz
+    inverse of the (P, P) in-panel unit-lower + one chunk GEMM was also
+    tried and REJECTED (hardware: 2/128 lanes OPTIMAL, 69 NaN-exit):
+    NS forms the Neumann partial sums, whose intermediate terms under
+    ~1e7 elimination growth are astronomically larger than the final
+    inverse — the 2^-48 double-single error is relative to those LARGE
+    intermediates, so the cancellation destroys the small true entries
+    that sequential substitution computes stably.  A (P, P)-shaped
+    substitution saves nothing either: 16-lane arrays pad to the full
+    128-lane vreg, costing the same as the (P, B) update."""
     T = Mh.shape[0]
     NP = B // P_LEAF
     P = P_LEAF
