@@ -322,11 +322,18 @@ def _band_scatter_idx(n: int, p: int, Dp: int, perm: tuple,
     iteration in HBM traffic; the band blocks hold every H nonzero by
     construction of the RCM plan).
 
-    Returns int32 positions into a flat [diag | sub | dump] buffer of
-    size 2*nb*B*B + 1 for the concatenated per-lane value vector
+    Returns int32 positions into a flat [diag | sub] buffer of size
+    2*nb*B*B for the concatenated per-lane value vector
     [spr_vals (n_spr*w*w) | sing_vals (n_sing) | delta_diag (n) |
     soc part]; contributions landing above the band (the transposed sub
-    block) or on a padding column go to the dump slot.
+    block) or on a padding column go to the dump slot at flat position
+    nbb — element (0, 0) of sub block 0, which every consumer ignores
+    (the bwb=1 factor kernels multiply Ksub_0 by the zero-initialized
+    Dinv_{-1} carry, so finite garbage there annihilates; the
+    refinement residuals use the exact operator, never Kd/Ks).  An
+    out-of-band +1 slot forced XLA to slice an odd-sized buffer into
+    the (nb, B, B) views — three layout copies per iteration at 128
+    lanes (~1.3 ms, traced).
 
     The soc part is either the H contributions on the SOCSplit column
     supports (eliminating layout: soc_cols/soc_width) or, with
@@ -344,7 +351,7 @@ def _band_scatter_idx(n: int, p: int, Dp: int, perm: tuple,
     iperm[perm_a] = np.arange(len(perm_a))
     nb = Dp // 128
     nbb = nb * 128 * 128
-    dump = 2 * nbb
+    dump = nbb
     ms = int(sum(keep_q))
 
     def gpos(gi, gj, bad):
@@ -859,12 +866,11 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                         (st.socsplit.cols if st.n_sc else ()),
                         (st.socsplit.width if st.n_sc else 0),
                         st.q if keep_soc else ())
-                    buf = (jnp.zeros((2 * nbb + 1,), fdtype)
+                    buf = (jnp.zeros((2 * nbb,), fdtype)
                            .at[jnp.asarray(idx)].add(band_vals))
-                    Kd = (jnp.where(dmask, 0.0, other[dio])
-                          + buf[:nbb].reshape(-1, 128, 128))
-                    Ks = (jnp.where(smask, 0.0, other[sio])
-                          + buf[nbb:2 * nbb].reshape(-1, 128, 128))
+                    bufb = buf.reshape(2, -1, 128, 128)
+                    Kd = (jnp.where(dmask, 0.0, other[dio]) + bufb[0])
+                    Ks = (jnp.where(smask, 0.0, other[sio]) + bufb[1])
                 else:
                     Hflat = H.reshape(-1)
 

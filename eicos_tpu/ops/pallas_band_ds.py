@@ -315,7 +315,7 @@ def _leaf_eliminate_blocked(Mh, Ml):
 # their bf16 chunk decompositions batch too (row-scaled chunking is
 # per-output-row, so stacking lanes along rows is exact).
 
-T_LANES = 4
+T_LANES = 8
 
 
 def _bT(x, T):
@@ -724,7 +724,10 @@ def _band_factor_ds_batch(Kdiag, Ksub, T: int = T_LANES,
                 pltpu.VMEM((T * 8, B), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary")),
+                dimension_semantics=("arbitrary", "arbitrary"),
+                # the leaf's temporaries exceed Mosaic's default 16 MB
+                # scoped-vmem budget above T = 4; the chip has 128 MB
+                vmem_limit_bytes=(None if T <= 4 else 100 * 2 ** 20)),
             interpret=interpret,
         )(kdh, kdl, ksh, ksl)
     if Lp != L:

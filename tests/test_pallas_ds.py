@@ -324,8 +324,9 @@ def test_band_scatter_matches_dense_gather():
     vals = np.concatenate(vals)
     assert len(vals) == len(idx)
     nbb = (Dp // 128) * 128 * 128
-    buf = np.zeros(2 * nbb + 1)
+    buf = np.zeros(2 * nbb)
     np.add.at(buf, idx, vals)
+    buf[nbb] = 0.0    # dump slot: Ksub[0][0, 0], ignored by the kernels
     Kd = (np.where(dmask, 0.0, other[dio])
           + buf[:nbb].reshape(-1, 128, 128))
     Ks = (np.where(smask, 0.0, other[sio])
@@ -398,8 +399,9 @@ def test_soc_band_scatter_matches_dense():
             st, split, G, jnp.asarray(winv_lp), scal, delta, jnp.float64))
         assert len(vals) == len(idx), case
         nbb = (Dp // 128) * 128 * 128
-        buf = np.zeros(2 * nbb + 1)
+        buf = np.zeros(2 * nbb)
         np.add.at(buf, idx, vals)
+        buf[nbb] = 0.0  # dump slot: Ksub[0][0, 0], ignored by the kernels
         Kd = (np.where(dmask, 0.0, other[dio])
               + buf[:nbb].reshape(-1, 128, 128))
         Ks = (np.where(smask, 0.0, other[sio])
@@ -536,8 +538,9 @@ def test_keep_soc_scaled_scatter_matches_dense():
         keep_soc=True))
     assert len(vals) == len(idx), (len(vals), len(idx))
     nbb = nb * 128 * 128
-    buf = np.zeros(2 * nbb + 1)
+    buf = np.zeros(2 * nbb)
     np.add.at(buf, idx, vals)
+    buf[nbb] = 0.0    # dump slot: Ksub[0][0, 0], ignored by the kernels
     Kd = np.where(dmask, 0.0, other[dio]) + buf[:nbb].reshape(-1, 128, 128)
     Ks = (np.where(smask, 0.0, other[sio])
           + buf[nbb:2*nbb].reshape(-1, 128, 128))
