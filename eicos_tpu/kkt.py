@@ -822,8 +822,7 @@ def factor(st: ProblemStructure, ctx: KKTContext,
             # symbolic plan (RCM perm + block bandwidth) is static on the
             # structure; factor the permuted system block-banded
             from .ops.band_ldl import band_ldl_factor, band_ldl_solve
-            from .ops.pallas_band_ds import (KP, band_ds_available,
-                                             band_factor_ds, band_solve_ds)
+            from .ops.pallas_band_ds import KP, band_ds_available
 
             plan = st.band
             assert plan is not None, (
@@ -893,15 +892,15 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     # factor: lane-tiled under vmap via custom_vmap
                     # (T_LANES lanes per grid program — the leaf's small
                     # vector ops are issue-bound; ~2.5x device time at
-                    # 128 lanes, bit-identical output).  The factor's
-                    # bf16 chunk decomposition is hoisted out of the
-                    # solve kernels (prechunk_band_fac, once per
-                    # factorization; refinement re-solves ~8x per
-                    # iteration) — bit-identical solves, ~2x fewer
-                    # issue slots per solve call
-                    from .ops.pallas_band_ds import (band_solve_ds_pre,
-                                                     prechunk_band_fac)
-                    dsfac = prechunk_band_fac(band_factor_ds(Kd, Ks))
+                    # 128 lanes, bit-identical output).  The factor
+                    # kernel emits its bf16 chunk decomposition directly
+                    # (BandFacPre) so the refinement's ~8 solves per
+                    # iteration run chunk-free and the f32 factor pair
+                    # never round-trips HBM; the solves are lane-tiled
+                    # the same way (T_SOLVE lanes per grid program)
+                    from .ops.pallas_band_ds import (band_factor_ds_pre,
+                                                     band_solve_ds_pre)
+                    dsfac = band_factor_ds_pre(Kd, Ks)
                     band_solve = band_solve_ds_pre
                 else:
                     from .ops.pallas_band_ds import (band_factor_ds_bw,

@@ -1331,6 +1331,181 @@ except Exception:  # pragma: no cover
     band_solve_ds_pre = _band_solve_ds_pre_impl
 
 
+# ------------- chunk-emitting lane-tiled factor (bwb=1, batched) -------
+# prechunk_band_fac as an XLA pass re-reads the factor pair from HBM and
+# writes the 28 chunk arrays back (~1.6 GB of traffic per iteration at
+# 128 lanes, traced as multiply_convert/convert fusions).  The
+# lane-tiled factor kernel already holds L and Dinv in VMEM as it
+# produces them: this variant runs the SAME _chunks_scaled arithmetic
+# in-kernel and emits the BandFacPre chunk arrays directly — the f32
+# factor pair never reaches HBM (the Dinv/d carry stays in scratch) and
+# the XLA prechunk pass disappears.  Chunk values are bit-identical
+# (same float ops on the same values; pinned by test).
+
+def _scale_lane_row(s, T: int):
+    """(T, B, 1) per-row scales -> (T, 1, B) lane-oriented: in-kernel
+    transpose as a masked reduce over the identity."""
+    eye_bb = (lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
+              == lax.broadcasted_iota(jnp.int32, (1, B, B), 2))
+    return jnp.sum(jnp.where(eye_bb, jnp.broadcast_to(s, (T, B, B)), 0.0),
+                   axis=1, keepdims=True)
+
+
+def _make_band_factor_tiled_pre(T: int):
+    def srow(v):
+        """(T, 1, B) -> (T, 8, B) with row 0 live (the stored format)."""
+        row0 = lax.broadcasted_iota(jnp.int32, (1, 8, B), 1) == 0
+        return jnp.where(row0, jnp.broadcast_to(v, (T, 8, B)), 0.0)
+
+    def kern(kdh_ref, kdl_ref, ksh_ref, ksl_ref, *o):
+        lc1 = o[0:_NCHUNK]
+        ls1_ref = o[_NCHUNK]
+        dc1 = o[_NCHUNK + 1:2 * _NCHUNK + 1]
+        ds1_ref = o[2 * _NCHUNK + 1]
+        lc0 = o[2 * _NCHUNK + 2:3 * _NCHUNK + 2]
+        ls0_ref = o[3 * _NCHUNK + 2]
+        dc0 = o[3 * _NCHUNK + 3:4 * _NCHUNK + 3]
+        ds0_ref = o[4 * _NCHUNK + 3]
+        (dh_ref, dl_ref, c_dih, c_dil, c_dh, c_dl) = o[4 * _NCHUNK + 4:]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _init():
+            c_dih[...] = jnp.zeros_like(c_dih)
+            c_dil[...] = jnp.zeros_like(c_dil)
+            c_dh[...] = jnp.ones_like(c_dh)
+            c_dl[...] = jnp.zeros_like(c_dl)
+
+        Kdh = kdh_ref[...].reshape(T, B, B)
+        Kdl = kdl_ref[...].reshape(T, B, B)
+        Ksh = ksh_ref[...].reshape(T, B, B)
+        Ksl = ksl_ref[...].reshape(T, B, B)
+        Dpih = _bT(c_dih[...], T)
+        Dpil = _bT(c_dil[...], T)
+        dph = _bT(c_dh[...], T)[:, 0:1, :]
+        dpl = _bT(c_dl[...], T)[:, 0:1, :]
+        ph, plo = _ds_matmul_b(Ksh, Ksl, Dpih, Dpil, T)
+        Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (T, B, B)),
+                        jnp.broadcast_to(dpl, (T, B, B)))
+        e = _pow2_half(dph)
+        einv = 1.0 / e
+        m2h = dph * einv * einv
+        m2l = dpl * einv * einv
+        Leh = Lh * e
+        Lel = Ll * e
+        sh, sl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (T, B, B)),
+                        jnp.broadcast_to(m2l, (T, B, B)))
+        uh, ul = _ds_matmul_b(sh, sl, Leh, Lel, T)
+        Mh, Ml = ds_add(Kdh, Kdl, -uh, -ul)
+        (dh, dl), (Xh, Xl) = _leaf_eliminate_blocked_b(Mh, Ml)
+        # chunk decompositions of L and Dinv, both orientations — the
+        # same arithmetic prechunk_band_fac ran at the XLA level
+        for src_h, src_l, cref, sref, axis in (
+                (Lh, Ll, lc1, ls1_ref, 2), (Xh, Xl, dc1, ds1_ref, 2),
+                (Lh, Ll, lc0, ls0_ref, 1), (Xh, Xl, dc0, ds0_ref, 1)):
+            ch, s = _chunks_scaled(src_h, src_l, axis=axis)
+            for t in range(_NCHUNK):
+                _wr(cref[t], ch[t])
+            v = _scale_lane_row(s, T) if axis == 2 else s
+            _wr(sref, srow(v))
+        dbb = jnp.broadcast_to(dh, (T, 8, B))
+        dbl = jnp.broadcast_to(dl, (T, 8, B))
+        _wr(dh_ref, dbb)
+        _wr(dl_ref, dbl)
+        c_dih[...] = Xh.reshape(T * B, B)
+        c_dil[...] = Xl.reshape(T * B, B)
+        c_dh[...] = dbb.reshape(T * 8, B)
+        c_dl[...] = dbl.reshape(T * 8, B)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
+                           interpret: bool = False):
+    """Lane-tiled bwb=1 factor emitting the prechunked factor directly:
+    (L, nb, B, B) float64 inputs -> BandFacPre with a leading lane axis.
+    Bit-identical to prechunk_band_fac(band_factor_ds(...))."""
+    L, nb = Kdiag.shape[0], Kdiag.shape[1]
+    assert Kdiag.shape == (L, nb, B, B) and Ksub.shape == (L, nb, B, B)
+    assert Kdiag.dtype == jnp.float64
+    Lp = -(-L // T) * T
+    if Lp != L:
+        eye = jnp.broadcast_to(jnp.eye(B, dtype=Kdiag.dtype),
+                               (Lp - L, nb, B, B))
+        Kdiag = jnp.concatenate([Kdiag, eye], axis=0)
+        Ksub = jnp.concatenate(
+            [Ksub, jnp.zeros((Lp - L, nb, B, B), Ksub.dtype)], axis=0)
+
+    def split(x):
+        hi = x.astype(jnp.float32)
+        return hi, (x - hi.astype(jnp.float64)).astype(jnp.float32)
+
+    kdh, kdl = split(Kdiag)
+    ksh, ksl = split(Ksub)
+    spec_bb = pl.BlockSpec((T, 1, B, B), lambda t, k: (t, k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((T, 1, 8, B), lambda t, k: (t, k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sh_c = jax.ShapeDtypeStruct((Lp, nb, B, B), jnp.bfloat16)
+    sh_s = jax.ShapeDtypeStruct((Lp, nb, 8, B), jnp.float32)
+    group = (spec_bb,) * _NCHUNK + (spec_d,)
+    gshape = (sh_c,) * _NCHUNK + (sh_s,)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _make_band_factor_tiled_pre(T),
+            grid=(Lp // T, nb),
+            in_specs=[spec_bb] * 4,
+            out_specs=group * 4 + (spec_d, spec_d),
+            out_shape=gshape * 4 + (sh_s, sh_s),
+            scratch_shapes=[
+                pltpu.VMEM((T * B, B), jnp.float32),
+                pltpu.VMEM((T * B, B), jnp.float32),
+                pltpu.VMEM((T * 8, B), jnp.float32),
+                pltpu.VMEM((T * 8, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 2 ** 20),
+            interpret=interpret,
+        )(kdh, kdl, ksh, ksl)
+    if Lp != L:
+        out = tuple(x[:L] for x in out)
+    N = _NCHUNK + 1
+    g = [out[i * N:(i + 1) * N] for i in range(4)]
+    return BandFacPre(tuple(g[0][:_NCHUNK]), g[0][_NCHUNK],
+                      tuple(g[1][:_NCHUNK]), g[1][_NCHUNK],
+                      tuple(g[2][:_NCHUNK]), g[2][_NCHUNK],
+                      tuple(g[3][:_NCHUNK]), g[3][_NCHUNK],
+                      out[4 * N], out[4 * N + 1])
+
+
+try:  # pragma: no cover - custom_batching present in all supported jax
+    from jax import custom_batching as _cb3
+
+    @_cb3.custom_vmap
+    def band_factor_ds_pre(Kdiag, Ksub):
+        """bwb=1 double-single banded factor, returned prechunked
+        (BandFacPre).  Single lane: factor kernel + XLA prechunk.
+        Under vmap: the chunk-emitting lane-tiled kernel
+        (_band_factor_pre_batch) — no XLA prechunk pass at all."""
+        return prechunk_band_fac(_band_factor_ds_impl(Kdiag, Ksub))
+
+    @band_factor_ds_pre.def_vmap
+    def _band_factor_ds_pre_vmap(axis_size, in_batched, Kd, Ks):
+        kd_b, ks_b = in_batched
+        if kd_b and ks_b and Kd.ndim == 4:
+            out = _band_factor_pre_batch(Kd, Ks)
+        else:
+            out = jax.vmap(
+                lambda a, b: prechunk_band_fac(_band_factor_ds_impl(a, b)),
+                in_axes=(0 if kd_b else None, 0 if ks_b else None))(Kd, Ks)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+except Exception:  # pragma: no cover
+    def band_factor_ds_pre(Kdiag, Ksub):
+        return prechunk_band_fac(_band_factor_ds_impl(Kdiag, Ksub))
+
+
 # --------------------------------------------- factor kernel (bwb 2..8)
 # Generalization of the bwb == 1 kernel for the wider bands RCM gives on
 # LPnetlib shapes (3-8 blocks).  Block row k's elimination touches the

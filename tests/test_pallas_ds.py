@@ -760,3 +760,43 @@ def test_pre_solve_custom_vmap_dispatch():
         pre_b, rhs)
     assert out_shape.shape == (L, pbd.KP, D)
     assert out_shape.dtype == jnp.float64
+
+
+def test_chunk_emitting_factor_bit_identical():
+    """_band_factor_pre_batch (the chunk-emitting lane-tiled factor —
+    custom_vmap target of band_factor_ds_pre) equals
+    prechunk_band_fac(lane-tiled factor) leaf-for-leaf, bit-exactly,
+    including the padded-lane case."""
+    from eicos_tpu.ops.pallas_band_ds import (_HAS_PALLAS, B,
+                                              _band_factor_ds_batch,
+                                              _band_factor_pre_batch,
+                                              prechunk_band_fac)
+
+    if not _HAS_PALLAS:
+        pytest.skip("pallas not importable")
+    rng = np.random.default_rng(21)
+    L, nb, T = 3, 3, 2          # L % T != 0: exercises lane padding
+    Kd = np.zeros((L, nb, B, B))
+    Ks = np.zeros((L, nb, B, B))
+    for i in range(L):
+        for k in range(nb):
+            M = rng.standard_normal((B, B)) * np.exp(
+                rng.uniform(-3, 3, (B, 1)))
+            Kd[i, k] = M @ M.T + 50 * np.eye(B)
+            if k:
+                Ks[i, k] = 0.1 * rng.standard_normal((B, B))
+    Kd = jnp.asarray(Kd)
+    Ks = jnp.asarray(Ks)
+    fac = _band_factor_ds_batch(Kd, Ks, T=T, interpret=True)
+    with jax.enable_x64(False):
+        want = jax.jit(prechunk_band_fac)(fac)
+    got = _band_factor_pre_batch(Kd, Ks, T=T, interpret=True)
+    for name in want._fields:
+        w, g = getattr(want, name), getattr(got, name)
+        if isinstance(w, tuple):
+            for t, (wt, gt) in enumerate(zip(w, g)):
+                np.testing.assert_array_equal(
+                    np.asarray(gt), np.asarray(wt), err_msg=f"{name}[{t}]")
+        else:
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                          err_msg=name)
