@@ -88,3 +88,4 @@ def test_make_sliced_patterns_compose():
         a = rng.standard_normal((3, Bm.shape[0]))
         np.testing.assert_allclose(np.asarray(op.rmatmul(jnp.asarray(a))),
                                    a @ Bm, rtol=1e-13, atol=1e-13)
+
