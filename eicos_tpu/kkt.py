@@ -80,7 +80,8 @@ import numpy as np
 from jax import lax
 
 from . import cones
-from .ops.ldl import ldl_factor, ldl_solve, pad_to_block, LDLFactors
+from .ops.ldl import (ldl_factor, ldl_prechunk, ldl_solve, pad_to_block,
+                      LDLFactors)
 from .structure import ProblemStructure
 
 
@@ -260,14 +261,17 @@ def _factor_in_dtype(K, settings) -> LDLFactors:
     if settings.factor_dtype == "float32":
         return ldl_factor(K.astype(jnp.float32), block=settings.block,
                           use_pallas=settings.pallas_leaf)
-    # float64 uses the double-single Pallas leaf on TPU (ops/ldl._leaf)
-    return ldl_factor(K, block=settings.block,
-                      use_pallas=settings.pallas_leaf)
+    # float64 uses the double-single Pallas leaf on TPU (ops/ldl._leaf);
+    # prechunk Linv once so the ~8 refined solves per iteration skip the
+    # per-call operand split/transpose/chunk work (no-op off-TPU)
+    return ldl_prechunk(ldl_factor(K, block=settings.block,
+                                   use_pallas=settings.pallas_leaf))
 
 
-def _solve_padded(fac: LDLFactors, rr):
+def _solve_padded(fac, rr):
     """ldl_solve in the factor dtype, result cast back to the rhs dtype."""
-    out = ldl_solve(fac, rr.astype(fac.Linv.dtype))
+    fdt = fac.Linv.dtype if isinstance(fac, LDLFactors) else fac.d.dtype
+    out = ldl_solve(fac, rr.astype(fdt))
     return out.astype(rr.dtype)
 
 
@@ -937,6 +941,10 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                                 settings)
             fac = ldl_factor(K, block=settings.block,
                              use_pallas=settings.pallas_leaf)
+            if fdtype == jnp.float64:
+                # prechunk Linv once per factor: the refined solves run
+                # chunk-free (no-op off-TPU / non-ds paths)
+                fac = ldl_prechunk(fac)
 
             def padded_solve(rr):
                 return ldl_solve(fac, rr)

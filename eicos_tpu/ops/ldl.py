@@ -53,6 +53,33 @@ class LDLFactors(NamedTuple):
     d: jax.Array      # (D,) pivots
 
 
+class LDLFactorsPre(NamedTuple):
+    """LDLFactors with Linv prechunked for the double-single solve
+    kernel (ops/pallas_gemm_ds.PrechunkedOperand): the solve path calls
+    a @ Linv.T and t @ Linv ~2 x (1 + refinement trips) times per
+    factorization, and the per-call operand split / transpose / in-kernel
+    chunk decomposition dominated single-lane LPnetlib solves.  Built
+    once per factor by ldl_prechunk."""
+    pre_t: object    # a @ Linv.T operand (chunked along Linv axis 1)
+    pre_n: object    # t @ Linv operand (chunked along Linv axis 0)
+    d: jax.Array
+
+
+def ldl_prechunk(fac: LDLFactors):
+    """Prechunk a float64 factor for the TPU ds solve path; on any other
+    path return it unchanged (ldl_solve accepts both)."""
+    if not _use_ds_gemm(fac.Linv.dtype):
+        return fac
+    from .pallas_gemm_ds import PrechunkedOperand
+
+    hi = fac.Linv.astype(jnp.float32)
+    lo = (fac.Linv - hi.astype(jnp.float64)).astype(jnp.float32)
+    return LDLFactorsPre(
+        pre_t=PrechunkedOperand(hi, lo, transpose_b=True),
+        pre_n=PrechunkedOperand(hi, lo, transpose_b=False),
+        d=fac.d)
+
+
 def pad_to_block(D: int, block: int = 128) -> int:
     return max(block, ((D + block - 1) // block) * block)
 
@@ -199,6 +226,10 @@ def ldl_solve(fac: LDLFactors, rhs):
     the 128-column panel a column-form product would pad to."""
     single = rhs.ndim == 1
     x = rhs[:, None] if single else rhs
+    if isinstance(fac, LDLFactorsPre):
+        t = fac.pre_t.rmatmul(x.T) / fac.d[None, :]
+        x = fac.pre_n.rmatmul(t).T
+        return x[:, 0] if single else x
     if _use_ds_gemm(x.dtype):
         from .pallas_gemm_ds import matmul_ds
 

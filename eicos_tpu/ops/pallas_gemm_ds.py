@@ -274,3 +274,146 @@ def gemv_ds_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# --------------------- factor-time prechunked big operands -------------
+# The dense-LDL solve path (ops/ldl.ldl_solve) runs a @ Linv.T and
+# t @ Linv against the SAME factor ~2 x (1 + nitref-trips) times per IPM
+# iteration; matmul_ds re-splits the (Dp, Dp) f64 operand to an (hi, lo)
+# pair, materializes the .T copy, and re-runs the bf16 chunk
+# decomposition IN-KERNEL on every call (the dominant VPU work of a
+# solve: 7 round/mul/sub rounds over Dp^2 elements).  A PrechunkedOperand
+# runs that decomposition ONCE per factorization at the XLA level —
+# per-B-slab of the contraction axis, the exact `_chunks_scaled` values
+# the kernel would compute (max/grid-snap arithmetic is rounding-free,
+# so the chunks are bit-identical) — and the solve kernel streams only
+# the bf16 chunk stacks + f32 scale rows (14 B/element vs the pair's 8:
+# 1.75x the HBM read, far below the removed per-call chunk work at the
+# measured trip counts).  `transpose_b` chunks along axis 1 so
+# a @ Bmat.T never materializes the transpose.
+
+
+class PrechunkedOperand:
+    """Big constant matmul operand, bf16-chunked once per B-slab of its
+    contraction axis.  ``hi, lo``: (K, N) f32 pair ( (N, K) with
+    ``transpose_b``), both dims multiples of 128.  ``rmatmul(a)``
+    computes a @ B (or a @ B.T) for float64 ``a`` of shape (r, K)."""
+
+    def __init__(self, hi, lo, transpose_b: bool = False):
+        assert hi.ndim == 2 and hi.shape == lo.shape, (hi.shape, lo.shape)
+        self.tb = transpose_b
+        if not transpose_b:
+            kp, npad = hi.shape
+            nk = kp // B
+            ch, s = _chunks_scaled(hi.reshape(nk, B, npad),
+                                   lo.reshape(nk, B, npad), axis=1)
+            self.chunks = tuple(c.reshape(kp, npad) for c in ch)
+            s2 = s.reshape(nk, npad)
+        else:
+            npad, kp = hi.shape
+            nk = kp // B
+            ch, s = _chunks_scaled(hi.reshape(npad, nk, B),
+                                   lo.reshape(npad, nk, B), axis=2)
+            self.chunks = tuple(c.reshape(npad, kp) for c in ch)
+            s2 = s.reshape(npad, nk).T                    # (nk, npad)
+        assert kp % B == 0 and npad % B == 0, (kp, npad)
+        nk8 = -(-nk // 8) * 8
+        self.scales = (jnp.zeros((nk8, npad), jnp.float32)
+                       .at[:nk].set(s2))
+        self.kp, self.npad = kp, npad
+
+    def rmatmul(self, a):
+        """a @ B (or a @ B.T): float64 ``a`` of shape (r, kp)."""
+        assert a.ndim == 2 and a.shape[1] == self.kp, (a.shape, self.kp)
+        r = a.shape[0]
+        R = -(-max(r, 1) // KP) * KP
+        if R > RB_MAX:
+            R = -(-R // RB_MAX) * RB_MAX
+        ap = jnp.zeros((R, self.kp), a.dtype).at[:r].set(a)
+        ah = ap.astype(jnp.float32)
+        al = (ap - ah.astype(jnp.float64)).astype(jnp.float32)
+        oh, ol = _gemv_pre_call(R, self.kp, self.npad,
+                                self.scales.shape[0], self.tb,
+                                _PRE_INTERPRET)(
+            ah, al, *self.chunks, self.scales)
+        out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+        out = out.transpose(1, 0, 2).reshape(R, self.npad)
+        return out[:r]
+
+
+def _gemv_kernel_prechunked(R, tb, *refs):
+    """One 128-wide output panel against a prechunked operand:
+    contraction looped in VMEM, only MXU dots + TwoSum folds (the chunk
+    decomposition of the big operand happened at factor time).
+    Bit-identical to _gemv_kernel on the same operand values."""
+    ah_ref, al_ref = refs[0], refs[1]
+    bc = refs[2:2 + _NCHUNK]
+    bs_ref = refs[2 + _NCHUNK]
+    oh_ref, ol_ref = refs[3 + _NCHUNK], refs[4 + _NCHUNK]
+    Kp = ah_ref.shape[-1]
+    nk = Kp // B
+
+    def step(k, acc):
+        ach, acl = acc
+        Ah = ah_ref[:, pl.ds(k * B, B)]
+        Al = al_ref[:, pl.ds(k * B, B)]
+        if tb:
+            get = lambda t, k=k: bc[t][:, pl.ds(k * B, B)]  # noqa: E731
+        else:
+            get = lambda t, k=k: bc[t][pl.ds(k * B, B), :]  # noqa: E731
+        ph, plo = _ds_matmul_pre(Ah, Al, get, bs_ref[pl.ds(k, 1), :],
+                                 transpose_b=tb)
+        return ds_add(ach, acl, ph, plo)
+
+    zero = jnp.zeros((R, B), jnp.float32)
+    oh, ol = _fori32(nk, step, (zero, zero))
+    oh_ref[...] = oh.reshape(oh_ref.shape)
+    ol_ref[...] = ol.reshape(ol_ref.shape)
+
+
+_PRE_INTERPRET = False   # tests flip this to route through the interpreter
+
+
+@functools.lru_cache(maxsize=256)
+def _gemv_pre_call(R: int, kp: int, npad: int, nk8: int, tb: bool,
+                   interpret: bool = False):
+    nn = npad // B
+    RB = min(R, RB_MAX)
+    assert R % RB == 0, (R, RB)
+    nr = R // RB
+    spec_a = pl.BlockSpec((RB, kp), lambda j, r: (r, 0),
+                          memory_space=pltpu.VMEM)
+    if tb:
+        spec_c = pl.BlockSpec((B, kp), lambda j, r: (j, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        spec_c = pl.BlockSpec((kp, B), lambda j, r: (0, j),
+                              memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((nk8, B), lambda j, r: (0, j),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, RB, B), lambda j, r: (j, r, 0),
+                          memory_space=pltpu.VMEM)
+    # the double-buffered chunk panels alone are 7*kp*B*2*2 bytes; past
+    # the 16 MB default scoped budget, raise the limit (128 MB chip)
+    vmem = (2 * _NCHUNK * kp * B * 2 + 2 * 2 * RB * kp * 4
+            + 2 * nk8 * B * 4 + 4 * RB * B * 4)
+    params = {}
+    if vmem > 15 * 2 ** 20:
+        params = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20))
+    kern = functools.partial(_gemv_kernel_prechunked, RB, tb)
+
+    def call(ah, al, *cs):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kern,
+                grid=(nn, nr),
+                in_specs=[spec_a, spec_a] + [spec_c] * _NCHUNK + [spec_s],
+                out_specs=(spec_o, spec_o),
+                out_shape=(jax.ShapeDtypeStruct((nn, nr * RB, B),
+                                                jnp.float32),) * 2,
+                interpret=interpret,
+                **params,
+            )(ah, al, *cs)
+
+    return jax.jit(call)

@@ -800,3 +800,114 @@ def test_chunk_emitting_factor_bit_identical():
         else:
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
                                           err_msg=name)
+
+
+def test_prechunked_operand_bit_identical():
+    """PrechunkedOperand (factor-time chunked big operand, both
+    orientations) is bit-identical to matmul_ds on the same values: the
+    per-B-slab _chunks_scaled arithmetic is rounding-free, so chunking
+    at the XLA level equals the in-kernel decomposition, and
+    _ds_matmul_pre's per-group pair sums equal ds_matmul's concatenated
+    dots exactly."""
+    import functools
+
+    from eicos_tpu.ops import pallas_gemm_ds as g
+
+    if not g._HAS_PALLAS:
+        pytest.skip("pallas not importable")
+    rng = np.random.default_rng(31)
+    kp, npad = 384, 256
+    Bm = rng.standard_normal((kp, npad)) * np.exp(
+        rng.uniform(-6, 6, (kp, 1)))
+    a = rng.standard_normal((3, kp)) * np.exp(rng.uniform(-4, 4, (3, 1)))
+    hi, lo = _split64(Bm)
+    hiT, loT = _split64(Bm.T)
+
+    # reference: the plain ds GEMV kernel in interpret mode
+    @functools.lru_cache(maxsize=8)
+    def interp_call(R, kpx, npx):
+        nn = npx // g.B
+        RB = min(R, g.RB_MAX)
+        nr = R // RB
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        spec_a = pl.BlockSpec((RB, kpx), lambda j, r: (r, 0),
+                              memory_space=pltpu.VMEM)
+        spec_b = pl.BlockSpec((kpx, g.B), lambda j, r: (0, j),
+                              memory_space=pltpu.VMEM)
+        spec_o = pl.BlockSpec((1, RB, g.B), lambda j, r: (j, r, 0),
+                              memory_space=pltpu.VMEM)
+        kern = functools.partial(g._gemv_kernel, RB)
+
+        def call(ah, al, bh, bl):
+            with jax.enable_x64(False):
+                return pl.pallas_call(
+                    kern, grid=(nn, nr),
+                    in_specs=[spec_a, spec_a, spec_b, spec_b],
+                    out_specs=(spec_o, spec_o),
+                    out_shape=(jax.ShapeDtypeStruct(
+                        (nn, nr * RB, g.B), jnp.float32),) * 2,
+                    interpret=True,
+                )(ah, al, bh, bl)
+
+        return call
+
+    orig = g._gemv_call
+    g._gemv_call = interp_call
+    try:
+        want = np.asarray(jax.device_get(g.matmul_ds(jnp.asarray(a),
+                                                     jnp.asarray(Bm))))
+    finally:
+        g._gemv_call = orig
+
+    g._PRE_INTERPRET = True
+    try:
+        opn = g.PrechunkedOperand(jnp.asarray(hi), jnp.asarray(lo),
+                                  transpose_b=False)
+        got_n = np.asarray(jax.device_get(opn.rmatmul(jnp.asarray(a))))
+        opt = g.PrechunkedOperand(jnp.asarray(hiT), jnp.asarray(loT),
+                                  transpose_b=True)
+        got_t = np.asarray(jax.device_get(opt.rmatmul(jnp.asarray(a))))
+    finally:
+        g._PRE_INTERPRET = False
+    # same f64 combine: outputs are (r, npad) slices of identical pairs
+    np.testing.assert_array_equal(got_n, want[:, :npad])
+    np.testing.assert_array_equal(got_t, want[:, :npad])
+    ref = a @ Bm
+    assert np.abs(got_n - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_ldl_prechunk_solve_matches():
+    """ldl_solve on a prechunked factor (LDLFactorsPre) matches the
+    plain-factor solve through the interpreter kernels."""
+    import functools
+
+    from eicos_tpu.ops import pallas_gemm_ds as g
+    from eicos_tpu.ops import ldl as ldlmod
+    from eicos_tpu.ops.ldl import (LDLFactors, LDLFactorsPre, ldl_factor,
+                                   ldl_prechunk, ldl_solve)
+
+    if not g._HAS_PALLAS:
+        pytest.skip("pallas not importable")
+    rng = np.random.default_rng(33)
+    D = 256
+    M = rng.standard_normal((D, D))
+    K = M @ M.T + 10 * np.eye(D)
+    fac = ldl_factor(jnp.asarray(K))
+    rhs = jnp.asarray(rng.standard_normal((D, 3)))
+    want = np.asarray(jax.device_get(ldl_solve(fac, rhs)))
+
+    orig_use = ldlmod._use_ds_gemm
+    ldlmod._use_ds_gemm = lambda dt: dt == jnp.float64
+    g._PRE_INTERPRET = True
+    try:
+        pre = ldl_prechunk(fac)
+        assert isinstance(pre, LDLFactorsPre)
+        got = np.asarray(jax.device_get(ldl_solve(pre, rhs)))
+    finally:
+        g._PRE_INTERPRET = False
+        ldlmod._use_ds_gemm = orig_use
+    # ds solves differ from exact f64 at the 2^-48 level; consumers run
+    # under refinement — here just pin the numerical class
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-11
