@@ -315,7 +315,11 @@ def _leaf_eliminate_blocked(Mh, Ml):
 # their bf16 chunk decompositions batch too (row-scaled chunking is
 # per-output-row, so stacking lanes along rows is exact).
 
-T_LANES = 8
+T_LANES = 16    # measured on hardware: 44.0 / 42.7 / 40.5 ms per
+#                 128-lane bench-shape factor at T = 4 / 8 / 16 — the
+#                 leaf is no longer issue-bound past T = 8, but the wider
+#                 slabs still amortize ~5%.  Bit-identical output (the
+#                 tiling changes scheduling, not arithmetic).
 
 
 def _bT(x, T):
