@@ -131,6 +131,17 @@ class Solver:
         return self._solution
 
 
+def _code_rank(code: int) -> int:
+    """Quality tier of an exit code: 2 = definitive answer (optimal or a
+    full-accuracy infeasibility certificate), 1 = reduced-accuracy tier,
+    0 = failure (NUMERICS/MAXIT/OUTCONE/...)."""
+    if code in (0, 1, 2):
+        return 2
+    if code in (10, 11, 12):
+        return 1
+    return 0
+
+
 class BatchedSolver:
     """vmapped batch of problems sharing one structure — the TPU-native
     replacement for a farm of ``Solver`` instances.  All lanes run one
@@ -143,21 +154,67 @@ class BatchedSolver:
     Lane-invariant work (equilibration of G/A, KKT base assembly) then
     stays unbatched inside vmap — computed once, not per lane — and the
     big matrices exist once in HBM instead of per lane.
+
+    ``rescue``: optional fallback ``Settings``.  Lanes whose exit code is
+    not definitive (see _code_rank) are re-solved one at a time under the
+    fallback configuration and the better result is merged in.  Rationale:
+    the speed path's banded elimination ORDER can hit f64 growth
+    pathologies on rare endgame iterates that the dense natural-order
+    elimination survives (measured: a 1-in-256 stall on the MPC family —
+    see CLAUDE.md); a per-lane dense fallback restores the batch to
+    all-definitive at the cost of one small solve, instead of capping the
+    batch size at whatever the weakest lane tolerates.  The reference has
+    no analogue (single problem, single strategy); this is the batched
+    equivalent of a user retrying a failed solve with a safer method.
     """
 
     def __init__(self, structure: ProblemStructure,
                  settings: Settings = Settings(),
-                 shared: tuple = ()):
+                 shared: tuple = (),
+                 rescue: Optional[Settings] = None):
         self.structure = structure
         self.settings = settings
         self.shared = tuple(shared)
+        self.rescue = rescue
         axes = ProblemData(**{f: (None if f in self.shared else 0)
                               for f in ("G", "A", "c", "h", "b")})
         self._vsolve = jax.jit(
             jax.vmap(lambda d: solve(structure, d, settings),
                      in_axes=(axes,)))
+        if rescue is not None:
+            self._rescue_solve = jax.jit(
+                lambda d: solve(structure, d, rescue))
         self._last_in = None
         self._last_dev = None
+        self.last_rescued: tuple = ()
+
+    def _lane_data(self, dev: ProblemData, lane: int) -> ProblemData:
+        return ProblemData(**{
+            f: (getattr(dev, f) if f in self.shared
+                else getattr(dev, f)[lane])
+            for f in ("G", "A", "c", "h", "b")})
+
+    def _apply_rescue(self, sols: Solution) -> Solution:
+        import numpy as np
+
+        codes = np.asarray(jax.device_get(sols.exit_code))
+        rescued = []
+        for lane in np.flatnonzero(
+                np.vectorize(_code_rank)(codes) < 2).tolist():
+            rsol = self._rescue_solve(self._lane_data(self._last_dev, lane))
+            rcode = int(jax.device_get(rsol.exit_code))
+            if _code_rank(rcode) > _code_rank(int(codes[lane])):
+                # leaves whose per-lane shape differs between the two
+                # configurations (History length is iter_max + 1) keep
+                # the primary's value; everything else takes the rescue's
+                sols = jax.tree_util.tree_map(
+                    lambda full, one, lane=lane:
+                        (full.at[lane].set(one)
+                         if full.shape[1:] == one.shape else full),
+                    sols, rsol)
+                rescued.append(lane)
+        self.last_rescued = tuple(rescued)
+        return sols
 
     def solve(self, batch: ProblemData) -> Solution:
         # keep the batch device-resident across repeated solves of the
@@ -167,7 +224,10 @@ class BatchedSolver:
         if batch is not self._last_in:
             self._last_in = batch
             self._last_dev = jax.device_put(batch)
-        return self._vsolve(self._last_dev)
+        sols = self._vsolve(self._last_dev)
+        if self.rescue is not None:
+            sols = self._apply_rescue(sols)
+        return sols
 
     @staticmethod
     def stack(problems, shared: tuple = ()) -> ProblemData:

@@ -98,3 +98,51 @@ def test_sharded_batch():
     ref = solve(st, probs[5], Settings())
     np.testing.assert_allclose(np.asarray(sols.x)[5], np.asarray(ref.x),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_rescue_noop_when_all_definitive():
+    """rescue= set but every lane already definitive: results unchanged,
+    nothing re-solved."""
+    st, batch, probs = random_lp_batch(4, seed=2)
+    plain = BatchedSolver(st, Settings()).solve(batch)
+    bs = BatchedSolver(st, Settings(), rescue=Settings(feastol=1e-6,
+                                                       abstol=1e-6,
+                                                       reltol=1e-6))
+    sols = bs.solve(batch)
+    assert bs.last_rescued == ()
+    np.testing.assert_array_equal(np.asarray(sols.exit_code),
+                                  np.asarray(plain.exit_code))
+    np.testing.assert_array_equal(np.asarray(sols.x), np.asarray(plain.x))
+
+
+def test_rescue_merges_failed_lanes():
+    """Primary configuration capped at 2 IPM iterations (every lane exits
+    MAXIT); the rescue pass re-solves each lane under the fallback and
+    merges — the batch comes back all-OPTIMAL with per-lane solutions
+    matching direct fallback solves."""
+    st, batch, probs = random_lp_batch(3, seed=4)
+    primary = Settings(iter_max=2)
+    bs = BatchedSolver(st, primary, rescue=Settings())
+    sols = bs.solve(batch)
+    assert bs.last_rescued == (0, 1, 2)
+    codes = np.asarray(sols.exit_code)
+    assert np.all(codes == 0), codes
+    for i, prob in enumerate(probs):
+        ref = solve(st, prob, Settings())
+        np.testing.assert_array_equal(np.asarray(sols.x)[i],
+                                      np.asarray(ref.x))
+    # info merged too: the rescued lanes report the fallback's iteration
+    # counts, not the capped primary's (History keeps the primary's — its
+    # length is iter_max + 1, which differs between the configurations)
+    assert np.all(np.asarray(sols.info.iter) > 2)
+
+
+def test_rescue_keeps_primary_when_fallback_no_better():
+    """A fallback that also fails must not overwrite the primary result."""
+    st, batch, probs = random_lp_batch(2, seed=6)
+    bs = BatchedSolver(st, Settings(iter_max=2),
+                       rescue=Settings(iter_max=3))
+    sols = bs.solve(batch)
+    assert bs.last_rescued == ()
+    codes = np.asarray(sols.exit_code)
+    assert np.all(codes == int(eicos_tpu.ExitCode.MAXIT)), codes
