@@ -1,0 +1,77 @@
+"""Probe: lane-tile width T of the prechunked bwb=1 solve kernels.
+
+Times _band_solve_pre_batch at several T on bench-like shapes (L lanes,
+nb block rows) on the real TPU.  The factor kernel's sweep measured
+44.0 / 42.7 / 40.5 ms at T = 4 / 8 / 16 — this asks the same question
+for the solves (currently T_SOLVE = 8).
+
+Usage: python tools/tsolve_probe.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)
+    from eicos_tpu.ops.pallas_band_ds import (
+        KP, B, _band_factor_pre_batch, _band_solve_pre_batch)
+
+    R = 8
+    L, nb = 128, 16
+    rng = np.random.default_rng(0)
+    Kd = np.zeros((L, nb, B, B))
+    Ks = rng.standard_normal((L, nb, B, B)) * 0.3
+    for k in range(nb):
+        A = rng.standard_normal((L, B, B)) * 0.2
+        s = (np.exp(rng.uniform(-8, 8, (L, B)))
+             * np.sign(rng.standard_normal((L, B))))
+        Kd[:, k] = (A + A.transpose(0, 2, 1)) / 2
+        Kd[:, k] += np.einsum("lb,bc->lbc", s * 4, np.eye(B))
+    Ks[:, 0] = 0
+    pre = jax.jit(_band_factor_pre_batch)(jnp.asarray(Kd), jnp.asarray(Ks))
+    rhs = jnp.asarray(rng.standard_normal((L, KP, nb * B)))
+
+    ref = None
+    for T in (4, 8, 16):
+        run = jax.jit(lambda pre, rhs, T=T: jax.lax.fori_loop(
+            0, R,
+            lambda i, acc: acc + _band_solve_pre_batch(
+                pre, rhs + acc * 1e-30, T=T)[0, 0, 0],
+            jnp.float64(0.0)))
+        try:
+            out = run(pre, rhs)
+            float(np.asarray(jax.device_get(out)))
+        except Exception as e:
+            print(f"T={T:2d}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            out = run(pre, rhs)
+            float(np.asarray(jax.device_get(out)))
+            ts.append(time.time() - t0)
+        t = min(ts) / R * 1e3
+        # bit-identity across T (the tiling changes scheduling only)
+        full = jax.jit(lambda pre, rhs, T=T: _band_solve_pre_batch(
+            pre, rhs, T=T))(pre, rhs)
+        fv = np.asarray(jax.device_get(full))
+        if ref is None:
+            ref = fv
+            same = True
+        else:
+            same = bool(np.array_equal(ref, fv))
+        print(f"T={T:2d}: {t:7.2f} ms/solve-call  bit-identical={same}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
