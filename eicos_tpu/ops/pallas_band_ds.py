@@ -1230,7 +1230,17 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
     """Lane-tiled band_solve_ds_pre: every ``pre`` leaf carries a
     leading lane axis L, ``rhs_t`` is (L, KP, D).  Grid (L/T, nb) with
     T lanes per program; bit-identical per-lane output.  Lanes pad to
-    a multiple of T (pivots pad to 1 so the padded lanes stay finite)."""
+    a multiple of T (pivots pad to 1 so the padded lanes stay finite).
+
+    T is pinned to T_SOLVE = 8: on v5e hardware T = 8 was verified
+    bit-identical to the per-lane kernel AND deterministic run-to-run,
+    but T = 4 MISCOMPILES (65% of outputs wrong, rel errors up to 11;
+    interpret mode is exact at every T, so the code is right and the
+    Mosaic lowering at T = 4 shapes is not) and T = 16 fails to compile
+    (scoped-VMEM).  Timing: T = 4 and T = 8 measure within 2% — the
+    kernels are grid/HBM-bound, wider tiles buy nothing.  Do not change
+    T without re-running tools/tsolve_probe.py's hardware bit-identity
+    check."""
     L = rhs_t.shape[0]
     nb = pre.lc1[0].shape[1]
     D = nb * B
