@@ -182,38 +182,52 @@ class BatchedSolver:
             jax.vmap(lambda d: solve(structure, d, settings),
                      in_axes=(axes,)))
         if rescue is not None:
-            self._rescue_solve = jax.jit(
-                lambda d: solve(structure, d, rescue))
+            self._rescue_vsolve = jax.jit(
+                jax.vmap(lambda d: solve(structure, d, rescue),
+                         in_axes=(axes,)))
         self._last_in = None
         self._last_dev = None
         self.last_rescued: tuple = ()
 
-    def _lane_data(self, dev: ProblemData, lane: int) -> ProblemData:
+    def _gather_lanes(self, dev: ProblemData, idx) -> ProblemData:
         return ProblemData(**{
             f: (getattr(dev, f) if f in self.shared
-                else getattr(dev, f)[lane])
+                else jax.numpy.take(getattr(dev, f), idx, axis=0))
             for f in ("G", "A", "c", "h", "b")})
 
     def _apply_rescue(self, sols: Solution) -> Solution:
-        import numpy as np
-
         codes = np.asarray(jax.device_get(sols.exit_code))
-        rescued = []
-        for lane in np.flatnonzero(
-                np.vectorize(_code_rank)(codes) < 2).tolist():
-            rsol = self._rescue_solve(self._lane_data(self._last_dev, lane))
-            rcode = int(jax.device_get(rsol.exit_code))
-            if _code_rank(rcode) > _code_rank(int(codes[lane])):
-                # leaves whose per-lane shape differs between the two
-                # configurations (History length is iter_max + 1) keep
-                # the primary's value; everything else takes the rescue's
-                sols = jax.tree_util.tree_map(
-                    lambda full, one, lane=lane:
-                        (full.at[lane].set(one)
-                         if full.shape[1:] == one.shape else full),
-                    sols, rsol)
-                rescued.append(lane)
-        self.last_rescued = tuple(rescued)
+        lanes = np.flatnonzero(
+            np.array([_code_rank(int(cd)) for cd in codes]) < 2)
+        if lanes.size == 0:
+            self.last_rescued = ()
+            return sols
+        # ONE batched fallback solve over the gathered failing lanes
+        # (a per-lane Python loop cost one compile + dispatch per lane);
+        # the sub-batch pads to the next power of two by repeating lane 0
+        # so distinct failure counts share a few compiled executables
+        nsub = 1 << int(lanes.size - 1).bit_length()
+        idx = np.concatenate([lanes, np.repeat(lanes[:1],
+                                               nsub - lanes.size)])
+        rsols = self._rescue_vsolve(self._gather_lanes(self._last_dev, idx))
+        rcodes = np.asarray(jax.device_get(rsols.exit_code))[:lanes.size]
+        take = np.array([j for j in range(lanes.size)
+                         if (_code_rank(int(rcodes[j]))
+                             > _code_rank(int(codes[lanes[j]])))],
+                        dtype=np.int64)
+        if take.size == 0:
+            self.last_rescued = ()
+            return sols
+        dest = lanes[take]
+        # leaves whose per-lane shape differs between the two
+        # configurations (History length is iter_max + 1) keep the
+        # primary's value; everything else scatters the rescue's in
+        sols = jax.tree_util.tree_map(
+            lambda full, sub:
+                (full.at[dest].set(sub[take])
+                 if full.shape[1:] == sub.shape[1:] else full),
+            sols, rsols)
+        self.last_rescued = tuple(int(v) for v in dest)
         return sols
 
     def solve(self, batch: ProblemData) -> Solution:

@@ -100,6 +100,13 @@ CORPUS = [
                 names={"Gpr": "feas_Gx", "Gjc": "feas_Gp", "Gir": "feas_Gi"}),
     CorpusEntry("infeasible1", "infeasibleProblems/infeasible1.h", "",
                 (ExitCode.PRIMAL_INFEASIBLE,)),
+    # present in the reference tree but NOT registered in its runner
+    # (/root/reference/test/ecostester.cpp:54-72 lists no infeasible2);
+    # included here for the extra certificate coverage (p=2 equalities —
+    # a case class the registered corpus lacks;
+    # /root/reference/test/infeasibleProblems/infeasible2.h:4-19)
+    CorpusEntry("infeasible2", "infeasibleProblems/infeasible2.h", "",
+                (ExitCode.PRIMAL_INFEASIBLE,)),
     CorpusEntry("emptyProblem", "emptyProblem/emptyProblem.h", "", _OPT,
                 dims=(0, 0, 0, 0, 0)),
     CorpusEntry("issue98", "cvxpyProblems/githubIssue98.h", "", _OPT,

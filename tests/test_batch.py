@@ -129,12 +129,45 @@ def test_rescue_merges_failed_lanes():
     assert np.all(codes == 0), codes
     for i, prob in enumerate(probs):
         ref = solve(st, prob, Settings())
-        np.testing.assert_array_equal(np.asarray(sols.x)[i],
-                                      np.asarray(ref.x))
+        # the rescue solve is vmapped (one batched fallback): lowering
+        # differs from the scalar solve by reduction order — near-ulp,
+        # not bit, parity vs the single-lane reference
+        np.testing.assert_allclose(np.asarray(sols.x)[i],
+                                   np.asarray(ref.x),
+                                   rtol=1e-9, atol=1e-12)
     # info merged too: the rescued lanes report the fallback's iteration
     # counts, not the capped primary's (History keeps the primary's — its
     # length is iter_max + 1, which differs between the configurations)
     assert np.all(np.asarray(sols.info.iter) > 2)
+
+
+def test_rescue_is_one_batched_solve():
+    """The rescue pass re-solves ALL failing lanes as one gathered
+    sub-batch (vectorized), not a per-lane Python loop: with roughly half
+    of 16 lanes failing, exactly one fallback solve call happens and the
+    batch comes back all-definitive."""
+    st, batch, probs = random_lp_batch(16, seed=7)
+    # pick a cap that splits the lanes: some converge within it, some not
+    base = BatchedSolver(st, Settings()).solve(batch)
+    iters = np.asarray(base.info.iter)
+    cap = int(np.median(iters))
+    capped = BatchedSolver(st, Settings(iter_max=cap)).solve(batch)
+    fail = np.flatnonzero(np.asarray(capped.exit_code) != 0)
+    assert 2 <= fail.size < 16, "cap should split the batch"
+    bs = BatchedSolver(st, Settings(iter_max=cap), rescue=Settings())
+    calls = []
+    orig = bs._rescue_vsolve
+    bs._rescue_vsolve = lambda d: (calls.append(1), orig(d))[1]
+    sols = bs.solve(batch)
+    assert len(calls) == 1, "rescue must be one batched solve"
+    assert bs.last_rescued == tuple(int(v) for v in fail)
+    codes = np.asarray(sols.exit_code)
+    assert np.all(codes == 0), codes
+    for lane in bs.last_rescued:
+        ref = solve(st, probs[lane], Settings())
+        np.testing.assert_allclose(np.asarray(sols.x)[lane],
+                                   np.asarray(ref.x),
+                                   rtol=1e-9, atol=1e-12)
 
 
 def test_rescue_keeps_primary_when_fallback_no_better():

@@ -15,8 +15,8 @@ from eicos_tpu import corpus
 from eicos_tpu.settings import Settings
 from eicos_tpu.solver import solve
 
-SMALL = ["feas", "infeasible1", "unboundedLP1", "unboundedMaxSqrt",
-         "emptyProblem", "issue98", "lp_afiro"]
+SMALL = ["feas", "infeasible1", "infeasible2", "unboundedLP1",
+         "unboundedMaxSqrt", "emptyProblem", "issue98", "lp_afiro"]
 MEDIUM = ["lp_adlittle", "lp_blend"]
 FULL = ["lp_beaconfd", "lp_bandm", "lp_agg", "lp_agg2", "lp_agg3",
         "lp_bnl1", "lp_25fv47", "MPC02"]

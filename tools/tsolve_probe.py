@@ -1,9 +1,17 @@
 """Probe: lane-tile width T of the prechunked bwb=1 solve kernels.
 
 Times _band_solve_pre_batch at several T on bench-like shapes (L lanes,
-nb block rows) on the real TPU.  The factor kernel's sweep measured
-44.0 / 42.7 / 40.5 ms at T = 4 / 8 / 16 — this asks the same question
-for the solves (currently T_SOLVE = 8).
+nb block rows) on the real TPU, and checks every T's output — plus a
+run-to-run determinism repeat — against a KNOWN-GOOD reference: the
+per-lane _band_solve_ds_pre_impl vmap path (stated exact at every lane,
+and independently verified against interpret mode).  Anchoring to the
+per-lane path matters: T = 4 MISCOMPILES silently on v5e (wrong values,
+no exception), so "first T that runs" would make the broken kernel the
+baseline and invert the verdict (round-2 advisor finding).
+
+The factor kernel's sweep measured 44.0 / 42.7 / 40.5 ms at
+T = 4 / 8 / 16 — this asks the same question for the solves
+(currently T_SOLVE = 8).
 
 Usage: python tools/tsolve_probe.py
 """
@@ -22,9 +30,12 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
     from eicos_tpu.ops.pallas_band_ds import (
-        KP, B, _band_factor_pre_batch, _band_solve_pre_batch)
+        KP, B, _band_factor_pre_batch, _band_solve_ds_pre_impl,
+        _band_solve_pre_batch)
 
-    R = 8
+    # R = 32: at the documented ~30 ms tunnel round trip per call, R = 8
+    # added ~4 ms (~10%) to each per-solve figure (rep-division bias)
+    R = 32
     L, nb = 128, 16
     rng = np.random.default_rng(0)
     Kd = np.zeros((L, nb, B, B))
@@ -39,7 +50,12 @@ def main():
     pre = jax.jit(_band_factor_pre_batch)(jnp.asarray(Kd), jnp.asarray(Ks))
     rhs = jnp.asarray(rng.standard_normal((L, KP, nb * B)))
 
-    ref = None
+    # known-good reference: the per-lane kernel, one lane at a time
+    ref = np.asarray(jax.device_get(jax.jit(
+        jax.vmap(_band_solve_ds_pre_impl))(pre, rhs)))
+    print(f"reference: per-lane _band_solve_ds_pre_impl vmap "
+          f"(L={L}, nb={nb})", flush=True)
+
     for T in (4, 8, 16):
         run = jax.jit(lambda pre, rhs, T=T: jax.lax.fori_loop(
             0, R,
@@ -60,17 +76,16 @@ def main():
             float(np.asarray(jax.device_get(out)))
             ts.append(time.time() - t0)
         t = min(ts) / R * 1e3
-        # bit-identity across T (the tiling changes scheduling only)
+        # bit-identity vs the per-lane reference (the tiling must change
+        # scheduling only), and run-to-run determinism of the tiled kernel
         full = jax.jit(lambda pre, rhs, T=T: _band_solve_pre_batch(
-            pre, rhs, T=T))(pre, rhs)
-        fv = np.asarray(jax.device_get(full))
-        if ref is None:
-            ref = fv
-            same = True
-        else:
-            same = bool(np.array_equal(ref, fv))
-        print(f"T={T:2d}: {t:7.2f} ms/solve-call  bit-identical={same}",
-              flush=True)
+            pre, rhs, T=T))
+        fv1 = np.asarray(jax.device_get(full(pre, rhs)))
+        fv2 = np.asarray(jax.device_get(full(pre, rhs)))
+        same = bool(np.array_equal(ref, fv1))
+        det = bool(np.array_equal(fv1, fv2))
+        print(f"T={T:2d}: {t:7.2f} ms/solve-call  bit-identical-to-ref="
+              f"{same}  deterministic={det}", flush=True)
 
 
 if __name__ == "__main__":
