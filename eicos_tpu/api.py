@@ -26,10 +26,23 @@ from .structure import ProblemStructure
 class Solver:
     """Single-problem solver with the reference's constructor shape:
     Solver(G, A, c, h, b, soc_dims); l is inferred as m - sum(q)
-    (/root/reference/src/eicos.cpp:155)."""
+    (/root/reference/src/eicos.cpp:155).
+
+    ``rescue``: optional fallback ``Settings`` (same contract as
+    BatchedSolver): when the primary configuration's exit is not
+    definitive (NUMERICS/MAXIT/... or a reduced-accuracy tier beaten by
+    the fallback), the problem re-solves once under the fallback and the
+    better result is kept.  Motivation: knife-edge certificates on the
+    double-single TPU kernel path (unboundedMaxSqrt,
+    /root/reference/test/unboundedProblems/unboundedMaxSqrt.h:14 —
+    DINF decided by f64 last-ulp rounding at tau -> 0) exit NUMERICS
+    under "banded"+ds where the exact-f64 dense elimination certifies
+    DINF; the fallback restores the reference's exit code without
+    chasing kernel rounding."""
 
     def __init__(self, G, A, c, h, b, soc_dims=(),
-                 settings: Settings = Settings()):
+                 settings: Settings = Settings(),
+                 rescue: Optional[Settings] = None):
         c = np.asarray(c, dtype=np.float64).reshape(-1)
         h = np.zeros(0) if h is None else np.asarray(h, np.float64).reshape(-1)
         b = np.zeros(0) if b is None else np.asarray(b, np.float64).reshape(-1)
@@ -54,6 +67,7 @@ class Solver:
             # .GSplit); pattern-only, so update_data keeps the executable
             self.structure = self.structure.with_gsplit(
                 self._data.G, self._data.A)
+        self.rescue = rescue
         self._solution: Optional[Solution] = None
         self._dev: Optional[ProblemData] = None
 
@@ -110,6 +124,13 @@ class Solver:
             self._dev = jax.device_put(self._data)
         sol = solve(self.structure, self._dev, self.settings)
         self._solution = jax.device_get(sol)
+        if getattr(self, "rescue", None) is not None:
+            code = int(self._solution.exit_code)
+            if _code_rank(code) < 2:
+                rsol = jax.device_get(
+                    solve(self.structure, self._dev, self.rescue))
+                if _code_rank(int(rsol.exit_code)) > _code_rank(code):
+                    self._solution = rsol
         if verbose:
             from .utils.printing import print_iteration_table, print_summary
             print_iteration_table(self._solution)
@@ -166,21 +187,39 @@ class BatchedSolver:
     batch size at whatever the weakest lane tolerates.  The reference has
     no analogue (single problem, single strategy); this is the batched
     equivalent of a user retrying a failed solve with a safer method.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis is sharded
+    over its (single) axis, shared fields are replicated, and the solve
+    jits with explicit in_shardings (data parallelism over ICI, zero
+    per-iteration collectives — parallel/sharding.py).  The rescue
+    sub-batch is deliberately NOT sharded: it is small by construction
+    (rare failing lanes), and a sub-mesh-size batch cannot shard evenly.
     """
 
     def __init__(self, structure: ProblemStructure,
                  settings: Settings = Settings(),
                  shared: tuple = (),
-                 rescue: Optional[Settings] = None):
+                 rescue: Optional[Settings] = None,
+                 mesh=None):
         self.structure = structure
         self.settings = settings
         self.shared = tuple(shared)
         self.rescue = rescue
+        self.mesh = mesh
         axes = ProblemData(**{f: (None if f in self.shared else 0)
                               for f in ("G", "A", "c", "h", "b")})
+        jit_kw = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            batch_spec = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            repl_spec = NamedSharding(mesh, PartitionSpec())
+            self._specs = ProblemData(**{
+                f: (repl_spec if f in self.shared else batch_spec)
+                for f in ("G", "A", "c", "h", "b")})
+            jit_kw["in_shardings"] = (self._specs,)
         self._vsolve = jax.jit(
             jax.vmap(lambda d: solve(structure, d, settings),
-                     in_axes=(axes,)))
+                     in_axes=(axes,)), **jit_kw)
         if rescue is not None:
             self._rescue_vsolve = jax.jit(
                 jax.vmap(lambda d: solve(structure, d, rescue),
@@ -237,7 +276,9 @@ class BatchedSolver:
         # 24% of the whole 128-lane batch solve
         if batch is not self._last_in:
             self._last_in = batch
-            self._last_dev = jax.device_put(batch)
+            self._last_dev = (jax.device_put(batch, self._specs)
+                              if self.mesh is not None
+                              else jax.device_put(batch))
         sols = self._vsolve(self._last_dev)
         if self.rescue is not None:
             sols = self._apply_rescue(sols)

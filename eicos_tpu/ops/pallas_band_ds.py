@@ -414,72 +414,106 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
     intermediates, so the cancellation destroys the small true entries
     that sequential substitution computes stably.  A (P, P)-shaped
     substitution saves nothing either: 16-lane arrays pad to the full
-    128-lane vreg, costing the same as the (P, B) update."""
+    128-lane vreg, costing the same as the (P, B) update.
+
+    FUSED [M | X] DATAFLOW (round 3): the trailing matrix M and the
+    inverse accumulation X live side by side in one (T, B, 2B) slab, the
+    panel inner loop updates one (T, P, 2B) slice with ONE outer-sub per
+    step (was two), and each panel's two trailing MXU products collapse
+    into one (T, P, 2B)-operand product.  Every reduction and every ds
+    op is column-independent, so widening the column axis changes
+    scheduling only — output is BIT-IDENTICAL to the unfused form
+    (pinned by tests/test_pallas_ds.py against the plain rank-1 loop);
+    the op-issue count of the issue-bound inner loop roughly halves."""
     T = Mh.shape[0]
     NP = B // P_LEAF
     P = P_LEAF
     colv = lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
+    col2 = lax.broadcasted_iota(jnp.int32, (1, 1, 2 * B), 2)
     prow = lax.broadcasted_iota(jnp.int32, (1, P, B), 1)
     pcol = lax.broadcasted_iota(jnp.int32, (1, P, B), 2)
+    prow2 = lax.broadcasted_iota(jnp.int32, (1, P, 2 * B), 1)
+    pcol2 = lax.broadcasted_iota(jnp.int32, (1, P, 2 * B), 2)
     eye_bb = (lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
               == lax.broadcasted_iota(jnp.int32, (1, B, B), 2))
+    # X starts as the identity in the right half of the fused slab
+    eye2 = (lax.broadcasted_iota(jnp.int32, (1, B, 2 * B), 2) - B
+            == lax.broadcasted_iota(jnp.int32, (1, B, 2 * B), 1))
     tiny = jnp.float32(1e-30)
 
-    Xh = jnp.broadcast_to(eye_bb.astype(jnp.float32), (T, B, B))
-    Xl = jnp.zeros((T, B, B), jnp.float32)
+    MXh = jnp.concatenate([Mh, jnp.zeros((T, B, B), jnp.float32)], axis=2)
+    MXh = jnp.where(eye2, 1.0, MXh)
+    MXl = jnp.concatenate([Ml, jnp.zeros((T, B, B), jnp.float32)], axis=2)
     dvh = jnp.zeros((T, 1, B), jnp.float32)
     dvl = jnp.zeros((T, 1, B), jnp.float32)
 
     for p in range(NP):
         q = p * P
         psel = (pcol - prow) == q      # [., r, c] : c == q + r
+        # the in-panel column q + r always lands in the M half
+        # (q + r <= B - 1), so the 2B-iota psel needs no half guard
+        psel2 = (pcol2 - prow2) == q
 
-        def body(jj, carry, q=q, psel=psel):
-            Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl = carry
-            rmask = prow == jj
+        def body(jj, carry, q=q, psel2=psel2):
+            Qh, Ql, Lth, Ltl, dvh, dvl = carry
+            rmask = prow2 == jj
+            cmask2 = col2 == (q + jj)
             cmask = colv == (q + jj)
-            keep = colv > (q + jj)
-            cjh = jnp.sum(jnp.where(rmask, Pth, 0.0), axis=1,
-                          keepdims=True)                  # (T, 1, B)
-            cjl = jnp.sum(jnp.where(rmask, Ptl, 0.0), axis=1,
+            # keep: strictly-later columns of the M half only — the X
+            # half of the l row must stay zero so the fused outer-sub's
+            # X-half row factor is wj alone
+            keep = (col2 > (q + jj)) & (col2 < B)
+            cwh = jnp.sum(jnp.where(rmask, Qh, 0.0), axis=1,
+                          keepdims=True)                  # (T, 1, 2B)
+            cwl = jnp.sum(jnp.where(rmask, Ql, 0.0), axis=1,
                           keepdims=True)
-            djh = jnp.sum(jnp.where(cmask, cjh, 0.0), axis=2,
+            djh = jnp.sum(jnp.where(cmask2, cwh, 0.0), axis=2,
                           keepdims=True)                  # (T, 1, 1)
-            djl = jnp.sum(jnp.where(cmask, cjl, 0.0), axis=2,
+            djl = jnp.sum(jnp.where(cmask2, cwl, 0.0), axis=2,
                           keepdims=True)
             djh = jnp.where(jnp.abs(djh) < tiny,
                             jnp.where(djh < 0, -tiny, tiny), djh)
-            djh_b = jnp.broadcast_to(djh, (T, 1, B))
-            djl_b = jnp.broadcast_to(djl, (T, 1, B))
-            lh, ll = ds_div(cjh, cjl, djh_b, djl_b)
+            djh_b = jnp.broadcast_to(djh, (T, 1, 2 * B))
+            djl_b = jnp.broadcast_to(djl, (T, 1, 2 * B))
+            lh, ll = ds_div(cwh, cwl, djh_b, djl_b)
             lh = jnp.where(keep, lh, 0.0)
             ll = jnp.where(keep, ll, 0.0)
-            lph = jnp.sum(jnp.where(psel, jnp.broadcast_to(lh, (T, P, B)),
+            lph = jnp.sum(jnp.where(psel2,
+                                    jnp.broadcast_to(lh, (T, P, 2 * B)),
                                     0.0), axis=2, keepdims=True)
-            lpl = jnp.sum(jnp.where(psel, jnp.broadcast_to(ll, (T, P, B)),
+            lpl = jnp.sum(jnp.where(psel2,
+                                    jnp.broadcast_to(ll, (T, P, 2 * B)),
                                     0.0), axis=2, keepdims=True)
             ldh, ldl = ds_mul(lh, ll, djh_b, djl_b)
-            Pth, Ptl = _ds_outer_sub(Pth, Ptl, lph, lpl, ldh, ldl)
-            wjh = jnp.sum(jnp.where(rmask, Wph, 0.0), axis=1,
-                          keepdims=True)
-            wjl = jnp.sum(jnp.where(rmask, Wpl, 0.0), axis=1,
-                          keepdims=True)
-            Wph, Wpl = _ds_outer_sub(Wph, Wpl, lph, lpl, wjh, wjl)
-            Lth = jnp.where(rmask, jnp.broadcast_to(lh, (T, P, B)), Lth)
-            Ltl = jnp.where(rmask, jnp.broadcast_to(ll, (T, P, B)), Ltl)
+            # fused row factor: [l*d | wj] — the l row's X half is zero,
+            # so selecting the raw row there reproduces the unfused wj
+            # bit for bit
+            xhalf = col2 >= B
+            rfh = jnp.where(xhalf, cwh, ldh)
+            rfl = jnp.where(xhalf, cwl, ldl)
+            Qh, Ql = _ds_outer_sub(Qh, Ql, lph, lpl, rfh, rfl)
+            Lth = jnp.where(prow == jj,
+                            jnp.broadcast_to(lh[:, :, :B], (T, P, B)),
+                            Lth)
+            Ltl = jnp.where(prow == jj,
+                            jnp.broadcast_to(ll[:, :, :B], (T, P, B)),
+                            Ltl)
             dvh = jnp.where(cmask, djh, dvh)
             dvl = jnp.where(cmask, djl, dvl)
-            return Pth, Ptl, Wph, Wpl, Lth, Ltl, dvh, dvl
+            return Qh, Ql, Lth, Ltl, dvh, dvl
 
         z_pb = jnp.zeros((T, P, B), jnp.float32)
-        carry = (Mh[:, q:q + P], Ml[:, q:q + P], Xh[:, q:q + P],
-                 Xl[:, q:q + P], z_pb, z_pb, dvh, dvl)
-        (_, _, Wph, Wpl, Lth, Ltl, dvh, dvl) = _fori32(P, body, carry)
+        carry = (MXh[:, q:q + P], MXl[:, q:q + P], z_pb, z_pb, dvh, dvl)
+        (Qh, Ql, Lth, Ltl, dvh, dvl) = _fori32(P, body, carry)
 
         t0 = q + P
+        # zero-width head slices must be omitted, not concatenated:
+        # Mosaic rejects (T, 0, 2B) vector types
+        head_h = [MXh[:, :q]] if q else []
+        head_l = [MXl[:, :q]] if q else []
         if t0 >= B:
-            Xh = jnp.concatenate([Xh[:, :q], Wph], axis=1)
-            Xl = jnp.concatenate([Xl[:, :q], Wpl], axis=1)
+            MXh = jnp.concatenate(head_h + [Qh], axis=1)
+            MXl = jnp.concatenate(head_l + [Ql], axis=1)
             break
         dpch = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvh, (T, P, B)),
                                  0.0), axis=2, keepdims=True)
@@ -490,27 +524,26 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
         m2h = dpch * einv * einv
         m2l = dpcl * einv * einv
         Leh, Lel = Lth * e, Ltl * e
-        ldh, ldl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (T, P, B)),
-                          jnp.broadcast_to(m2l, (T, P, B)))
         a, sa = _chunks_scaled(Leh, Lel, axis=1)         # sa: (T, 1, B)
         saT = jnp.sum(jnp.where(eye_bb, jnp.broadcast_to(sa, (T, B, B)),
                                 0.0), axis=2, keepdims=True)[:, t0:]
-        bU, sbU = _chunks_scaled(ldh, ldl, axis=1)
-        bX, sbX = _chunks_scaled(Wph * einv, Wpl * einv, axis=1)
-        uh, ul = _panel_dots_b(a, bU, t0, T)
-        sc = saT * sbU
-        Mth, Mtl = ds_add(Mh[:, t0:], Ml[:, t0:], -uh * sc, -ul * sc)
-        Mh = jnp.concatenate([Mh[:, :t0], Mth], axis=1)
-        Ml = jnp.concatenate([Ml[:, :t0], Mtl], axis=1)
-        uh, ul = _panel_dots_b(a, bX, t0, T)
-        sc = saT * sbX
-        Xth, Xtl = ds_add(Xh[:, t0:], Xl[:, t0:], -uh * sc, -ul * sc)
-        head_h = [Xh[:, :q]] if q else []
-        head_l = [Xl[:, :q]] if q else []
-        Xh = jnp.concatenate(head_h + [Wph, Xth], axis=1)
-        Xl = jnp.concatenate(head_l + [Wpl, Xtl], axis=1)
+        # fused b operand: [L e d e^-2 | W e^-1] — e^-1 is an exact power
+        # of two, so the X-half plain-f32 products match the unfused
+        # (Wph * einv, Wpl * einv) bit for bit; one chunk decomposition
+        # and ONE trailing MXU product replace two
+        Wph, Wpl = Qh[:, :, B:], Ql[:, :, B:]
+        ldh, ldl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (T, P, B)),
+                          jnp.broadcast_to(m2l, (T, P, B)))
+        b2h = jnp.concatenate([ldh, Wph * einv], axis=2)
+        b2l = jnp.concatenate([ldl, Wpl * einv], axis=2)
+        bUX, sb2 = _chunks_scaled(b2h, b2l, axis=1)      # sb2: (T, 1, 2B)
+        uh, ul = _panel_dots_b(a, bUX, t0, T)
+        sc = saT * sb2
+        MXth, MXtl = ds_add(MXh[:, t0:], MXl[:, t0:], -uh * sc, -ul * sc)
+        MXh = jnp.concatenate(head_h + [Qh, MXth], axis=1)
+        MXl = jnp.concatenate(head_l + [Ql, MXtl], axis=1)
 
-    return (dvh, dvl), (Xh, Xl)
+    return (dvh, dvl), (MXh[:, :, B:], MXl[:, :, B:])
 
 
 # ------------------------------------------------- factor kernel (bwb=1)

@@ -64,21 +64,64 @@ class SparseOperand:
     """``x @ M`` with a static padded-CSC pattern; drop-in for
     BigOperand.rmatmul.  ``bmat`` is the traced (km, nm) operand in the
     product orientation; vmap batches the gather natively (no
-    custom_vmap needed)."""
+    custom_vmap needed).
+
+    WIDTH-GROUPED: output columns are split into power-of-two nnz
+    classes (1, 2, 4, ..., W) so a few singleton-heavy classes don't pad
+    every column to the widest row's W — on the MPC bench family ~77%
+    of gather slots were pad zeros, and skipping them measured -7.5%
+    wall at 128 lanes.  Per class: one gather + one sum over w slots;
+    results concatenate in class order and a static inverse permutation
+    restores column order.  CAUTION (round-2 finding, CLAUDE.md): the
+    sum axis size changes XLA's f64 reduction tree, so results differ
+    from the ungrouped form by ~1 ulp — knife-edge lanes can flip exit
+    tier; the exit-time recheck + rescue protocol absorbs that.
+    Grouping only engages when it removes >=25% of slots AND the column
+    count is large enough that per-class overheads amortize."""
 
     def __init__(self, bmat, idx, W: int):
         km, nm = bmat.shape
         assert idx.shape == (nm, W), (idx.shape, nm, W)
+        idx = np.asarray(idx)
         pad = jnp.concatenate(
             [bmat, jnp.zeros((1, nm), bmat.dtype)], axis=0)
-        self.coef = pad[jnp.asarray(idx), np.arange(nm)[:, None]]
-        self.idxf = np.asarray(idx).ravel()
+        coef_full = pad[jnp.asarray(idx), np.arange(nm)[:, None]]
         self.km, self.nm, self.W = km, nm, W
+
+        counts = np.sum(idx < km, axis=1)
+        cls_w = np.minimum(W, np.maximum(1, 1 << np.ceil(
+            np.log2(np.maximum(counts, 1))).astype(np.int64)))
+        slots_grouped = int(cls_w.sum())
+        self.groups = None
+        if nm >= 256 and slots_grouped * 4 <= nm * W * 3:
+            order = np.argsort(cls_w, kind="stable")
+            inv = np.empty(nm, np.int64)
+            inv[order] = np.arange(nm)
+            self.inv = jnp.asarray(inv)
+            groups = []
+            start = 0
+            for w in sorted(set(int(v) for v in cls_w)):
+                cols = order[cls_w[order] == w]
+                assert np.array_equal(cols, order[start:start + len(cols)])
+                start += len(cols)
+                groups.append((w, np.asarray(idx[cols, :w]).ravel(),
+                               coef_full[cols, :w]))
+            self.groups = groups
+        else:
+            self.coef = coef_full
+            self.idxf = idx.ravel()
 
     def rmatmul(self, a):
         assert a.shape[-1] == self.km, (a.shape, self.km)
         ap = jnp.concatenate(
             [a, jnp.zeros(a.shape[:-1] + (1,), a.dtype)], axis=-1)
-        t = jnp.take(ap, self.idxf, axis=-1)
-        t = t.reshape(a.shape[:-1] + (self.nm, self.W))
-        return jnp.sum(t * self.coef, axis=-1)
+        if self.groups is None:
+            t = jnp.take(ap, self.idxf, axis=-1)
+            t = t.reshape(a.shape[:-1] + (self.nm, self.W))
+            return jnp.sum(t * self.coef, axis=-1)
+        parts = []
+        for w, idxf, coef in self.groups:
+            t = jnp.take(ap, idxf, axis=-1)
+            t = t.reshape(a.shape[:-1] + (coef.shape[0], w))
+            parts.append(jnp.sum(t * coef, axis=-1))
+        return jnp.take(jnp.concatenate(parts, axis=-1), self.inv, axis=-1)

@@ -518,14 +518,85 @@ def solve(structure: ProblemStructure, data: ProblemData,
 
     final = lax.while_loop(lambda s: ~s.done, body, state0)
 
-    # ---- backscale (:1271-1277)
+    # ---- exit-time certificate re-evaluation in exact f64 ----
+    # Under the double-single TPU kernels the in-loop residual GEMVs and
+    # the factor carry ~2^-48-level rounding; knife-edge certificates
+    # (unboundedMaxSqrt DINF at tau -> 0,
+    # /root/reference/test/unboundedProblems/unboundedMaxSqrt.h:14) can
+    # then miss feastol by an ulp inside the loop and exit NUMERICS.
+    # One exact-f64 residual set at the RETURNED iterate (outside the hot
+    # loop: plain jnp matvecs at `highest` precision, the CPU fallback's
+    # operand orientation) re-evaluates every exit test; the code is
+    # UPGRADED when the recheck certifies a strictly better tier
+    # (definitive > reduced-accuracy > failure) and never downgraded.
+    # On the CPU path the in-loop residuals are already exact, so this
+    # changes nothing there.
     w = final.it
+    code = final.code
+    if st.dim_kkt and m:
+        with jax.default_matmul_precision("highest"):
+            rx_h = -(w.z @ G) - (w.y @ A if p else 0.0)
+            ry_h = (A @ w.x) if p else jnp.zeros((0,), f64)
+            rz_h = w.s + G @ w.x
+        hresx, hresy, hresz = _norm(rx_h), _norm(ry_h), _norm(rz_h)
+        rx = rx_h - w.tau * c
+        ry = ry_h - w.tau * b
+        rz = rz_h - w.tau * h
+        cx = jnp.dot(c, w.x) if n else zero
+        by = jnp.dot(b, w.y) if p else zero
+        hz = jnp.dot(h, w.z)
+        nx, ny = _norm(w.x), _norm(w.y)
+        nz, ns = _norm(w.z), _norm(w.s)
+        gap = jnp.dot(w.s, w.z)
+        pcost = cx / w.tau
+        dcost = -(hz + by) / w.tau
+        has_relgap = (pcost < 0.0) | (dcost > 0.0)
+        relgap = jnp.where(pcost < 0.0, gap / -pcost,
+                           jnp.where(dcost > 0.0, gap / dcost, nan))
+        nry = (_norm(ry) / jnp.maximum(resy0 + nx, 1.0)) if p else zero
+        nrz = _norm(rz) / jnp.maximum(resz0 + nx + ns, 1.0)
+        pres = jnp.maximum(nry, nrz) / w.tau
+        dres = _norm(rx) / jnp.maximum(resx0 + ny + nz, 1.0) / w.tau
+        # one more (sticky) updateStatistics application, in exact f64:
+        # residuals refresh where the sign tests hold at this iterate
+        set_pinf = (hz + by) / jnp.maximum(ny + nz, 1.0) < -settings.reltol
+        set_dinf = cx / jnp.maximum(nx, 1.0) < -settings.reltol
+        w_re = w._replace(
+            cx=cx, by=by, hz=hz, pcost=pcost, dcost=dcost, gap=gap,
+            relgap=relgap, has_relgap=has_relgap, pres=pres, dres=dres,
+            pinfres=jnp.where(set_pinf,
+                              hresx / jnp.maximum(ny + nz, 1.0),
+                              w.pinfres),
+            has_pinfres=w.has_pinfres | set_pinf,
+            dinfres=jnp.where(
+                set_dinf,
+                jnp.maximum(hresy / jnp.maximum(nx, 1.0),
+                            hresz / jnp.maximum(nx + ns, 1.0)),
+                w.dinfres),
+            has_dinfres=w.has_dinfres | set_dinf,
+        )
+        code_re_full = check_full(w_re)
+        code_re_red = check_red(w_re)
+        cand = jnp.where(code_re_full != _NOTCONV, code_re_full,
+                         jnp.where(code_re_red != _NOTCONV, code_re_red,
+                                   code))
+
+        def _rank(cd):
+            return jnp.where(
+                (cd == _OPT) | (cd == _PINF) | (cd == _DINF), 2,
+                jnp.where((cd >= _OPT + _INACC) & (cd <= _DINF + _INACC),
+                          1, 0))
+
+        upgrade = _rank(cand) > _rank(code)
+        code = jnp.where(upgrade, cand, code)
+        w = _tree_where(upgrade, w_re, w)
+
+    # ---- backscale (:1271-1277)
     x = w.x / (eq.x_equil * w.tau)
     y = w.y / (eq.A_equil * w.tau)
     z = w.z / (eq.G_equil * w.tau)
     s = w.s * eq.G_equil / w.tau
 
-    code = final.code
     pinf = (code == _PINF) | (code == _PINF + _INACC)
     dinf = (code == _DINF) | (code == _DINF + _INACC)
     return Solution(exit_code=code, x=x, y=y, z=z, s=s, info=w,

@@ -92,3 +92,26 @@ def test_dinf_requires_engaged_dinfres():
     assert _check(w) == 2  # DUAL_INFEASIBLE
     w2 = w._replace(has_dinfres=jnp.asarray(False))
     assert _check(w2) == -87
+
+
+def test_dinf_pinned_under_banded_with_rescue():
+    """unboundedMaxSqrt must certify DINF under the flagship banded
+    configuration (/root/reference/test/unboundedProblems/
+    unboundedMaxSqrt.h:14).  The certificate is a tau->0 knife edge
+    decided by f64 last-ulp rounding: under the double-single TPU
+    kernels the trajectory diverges from the exact-f64 one at iter ~2
+    and exits NUMERICS (measured round 3; the reference binary built
+    against mini_eigen does the same, baselines/eicos_reference.json).
+    The API-level answer is the Solver ``rescue`` fallback: a failure
+    re-solves once under the exact-f64 dense elimination, which
+    certifies DINF on every backend."""
+    from eicos_tpu import ExitCode
+    from eicos_tpu.api import Solver
+    from eicos_tpu.corpus import load
+    from eicos_tpu.settings import Settings
+
+    st, prob, expected = load("unboundedMaxSqrt")
+    s = Solver(prob.G, None, prob.c, prob.h, None, soc_dims=st.q,
+               settings=Settings(kkt_strategy="banded"),
+               rescue=Settings(kkt_strategy="reduced"))
+    assert s.solve() == ExitCode.DUAL_INFEASIBLE

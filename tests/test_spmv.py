@@ -89,3 +89,26 @@ def test_make_sliced_patterns_compose():
         np.testing.assert_allclose(np.asarray(op.rmatmul(jnp.asarray(a))),
                                    a @ Bm, rtol=1e-13, atol=1e-13)
 
+
+
+def test_sparse_operand_width_grouped():
+    """Columns split into power-of-two nnz classes must produce the exact
+    gather-sum result (modulo f64 reassociation within a column — here
+    widths are tiny so sums are exact) and engage only when worthwhile."""
+    rng = np.random.default_rng(3)
+    km, nm = 64, 512
+    M = np.zeros((km, nm))
+    # 80% singletons, some width-2, a few width-7 columns
+    for j in range(nm):
+        w = 1 if j % 5 else (7 if j % 25 == 0 else 2)
+        rows = rng.choice(km, size=w, replace=False)
+        M[rows, j] = rng.standard_normal(w)
+    tab = csc_table(*np.nonzero(M), km, nm)
+    assert tab is not None
+    op = SparseOperand(jnp.asarray(M), *tab)
+    assert op.groups is not None and len(op.groups) >= 3
+    a = rng.standard_normal((4, km))
+    np.testing.assert_allclose(np.asarray(op.rmatmul(jnp.asarray(a))),
+                               a @ M, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(op.rmatmul(jnp.asarray(a[0]))),
+                               a[0] @ M, rtol=1e-13, atol=1e-13)
