@@ -30,6 +30,26 @@ if not _os.environ.get("EICOS_TPU_NO_X64"):
 
     _jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: a solver while_loop compiles in minutes
+# (2-5 min through a TPU tunnel), and the reference's users expect
+# setup() to be cheap on re-runs (/root/reference/test/run.cpp timing
+# flow).  Respect an explicit user setting; opt out with
+# EICOS_TPU_NO_CACHE=1.
+if not _os.environ.get("EICOS_TPU_NO_CACHE"):
+    import jax as _jax
+
+    if (_jax.config.jax_compilation_cache_dir is None
+            and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+        _cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "eicos_tpu_jax")
+        try:
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except OSError:  # pragma: no cover - read-only home
+            pass
+
 from .exitcodes import ExitCode
 from .settings import Settings
 from .structure import ConeStructure, ProblemStructure
