@@ -607,8 +607,8 @@ def test_prechunked_matmul_bit_identical():
     BIT-identical to ds_matmul on the (hi, lo) operand, both
     orientations — the refinement solves may not change by one ulp when
     the factor chunking is hoisted out of the solve kernels."""
-    from eicos_tpu.ops.pallas_band_ds import (KP, _ds_matmul_pre,
-                                              ds_matmul,
+    from eicos_tpu.ops.pallas_band_ds import (KP, _NCHUNK,
+                                              _ds_matmul_pre, ds_matmul,
                                               prechunk_band_fac)
 
     rng = np.random.default_rng(9)
@@ -626,7 +626,7 @@ def test_prechunked_matmul_bit_identical():
     ah, al = _split64(a)
     with jax.enable_x64(False):
         pre = jax.jit(prechunk_band_fac)(fac)
-        assert len(pre.lc1) == 7 and pre.lc1[0].dtype == jnp.bfloat16
+        assert len(pre.lc1) == _NCHUNK and pre.lc1[0].dtype == jnp.bfloat16
         assert pre.ls1.shape == (nb, 8, 128)
         for k in range(nb):
             # fwd orientation: a @ L_k^T (chunks along axis -1)
@@ -650,7 +650,7 @@ def test_prechunked_matmul_bit_identical():
 
 
 def test_split_operand_pre_solve_bit_identical():
-    """band_solve_ds_pre (factor chunks as 7 separate operands — the
+    """band_solve_ds_pre (factor chunks as separate operands — the
     stacked layout cost XLA three 59 MB copies per IPM iteration) is
     bit-identical to band_solve_ds in interpret mode.  The interpreter's
     grid-scratch precision quirk affects both kernels equally, so the
