@@ -903,8 +903,16 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     # never round-trips HBM; the solves are lane-tiled
                     # the same way (T_SOLVE lanes per grid program)
                     from .ops.pallas_band_ds import (band_factor_ds_pre,
+                                                     band_factor_ds_pre_i8,
                                                      band_solve_ds_pre)
-                    dsfac = band_factor_ds_pre(Kd, Ks)
+                    # chunk storage: int8 stores the solve streams at
+                    # 8 B/element vs bf16's 14 (the solves are HBM-
+                    # stream-bound); the solve kernels dispatch on the
+                    # stored dtype
+                    mk_fac = (band_factor_ds_pre_i8
+                              if settings.chunk_store == "i8"
+                              else band_factor_ds_pre)
+                    dsfac = mk_fac(Kd, Ks)
                     band_solve = band_solve_ds_pre
                 else:
                     from .ops.pallas_band_ds import (band_factor_ds_bw,

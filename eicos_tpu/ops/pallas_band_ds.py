@@ -124,6 +124,128 @@ def _chunks_scaled(xh, xl, axis):
     return chunks, s
 
 
+# ---------------- int8 chunk STORAGE for the prechunked solve streams --
+# The prechunked solve kernels are HBM-stream-bound (tools/
+# tsolve_probe.py: T = 4/8/16 within 2%), streaming 4 chunk orientations
+# of L and Dinv at 7 bf16 chunks = 14 B/element.  Storing the chunks as
+# 7-BIT-GRID INT8 INTEGERS (8 chunks x 1 B = 8 B/element) cuts that
+# stream 43%; in-kernel the integers convert to bf16 exactly (|int| <=
+# 72 < 2^8) and scale by the grid power of two, after which the dots are
+# the same exact-product bf16 MXU passes as the 8-bit scheme (products
+# on the level grid 2^-7(s+t+2); a whole level's f32 pair-adds stay
+# exact: <= 8 pairs x 128 terms x 72^2 ~ 2^22.3 < 2^24).  The rhs side
+# chunks in-kernel on the same 7-bit grids (one extra snap round on
+# small slabs).  Scales double (2 * pow2_above) so chunk 0 stays <= 64
+# and the k = 3 TwoSum fold bump stays <= 72 — int8-safe.  Tail after 8
+# chunks ~2^-57 of scale, at or below the 8-bit scheme's single-fold
+# ~2^-49.
+#
+# Scheme selection is per-factorization: Settings.chunk_store picks the
+# emission (kkt.py), and the solve kernels dispatch on the stored chunk
+# dtype — jit-cache-correct because the avals differ.
+
+_NCHUNK8 = 8
+_I8_LEVELS = tuple(
+    tuple((s, lvl - s)
+          for s in range(max(0, lvl - _NCHUNK8 + 1),
+                         min(_NCHUNK8, lvl + 1)))
+    for lvl in range(9))
+_I8_GRIDS = tuple(float(2.0 ** (-7 * (t + 1))) for t in range(_NCHUNK8))
+
+
+def _chunks7(xh, xl, axis, as_int8: bool = True):
+    """(hi, lo) f32 -> (chunks[_NCHUNK8], scale) on 7-bit grids.
+
+    ``as_int8``: chunks as int8 INTEGERS (c / grid — the storage form);
+    else bf16 VALUES (c itself — the in-kernel rhs-side form).  The lo
+    part folds at k = 3 via TwoSum (bump <= 72, int8-safe) and the
+    captured fold error re-folds at k = 6 where the grid absorbs it."""
+    m = jnp.max(jnp.abs(xh), axis=axis, keepdims=True)
+    s = 2.0 * _pow2_above(m)
+    r = xh / s
+    rl = xl / s
+    err = None
+    chunks = []
+    for k in range(_NCHUNK8):
+        if k == 3:
+            r, err = _two_sum(r, rl)
+        if k == 6:
+            r = r + err
+        up = jnp.float32(2.0 ** (7 * (k + 1)))
+        c = jnp.round(r * up) / up      # snap to grid 2^-7(k+1) (exact)
+        r = r - c                       # exact
+        chunks.append((c * up).astype(jnp.int8) if as_int8
+                      else c.astype(jnp.bfloat16))
+    return chunks, s
+
+
+def _ds_matmul_pre_i8_b(ah, al, get_chunk, sb_row, T: int,
+                        transpose_b: bool = False):
+    """Lane-batched ds product against an int8-stored prechunked operand:
+    ``ah, al`` (T, R, K) f32 rows, ``get_chunk(t)`` -> (T, B, B) int8
+    integer chunk t, ``sb_row`` (T, 1, N) f32 (doubled) scale rows.
+    Each int8 chunk converts to its bf16 VALUE once per call (exact:
+    integer <= 72 times a power of two)."""
+    a, sa = _chunks7(ah, al, axis=2, as_int8=False)
+    if transpose_b:
+        dn = (((2,), (2,)), ((0,), (0,)))
+    else:
+        dn = (((2,), (1,)), ((0,), (0,)))
+    bval = [None] * _NCHUNK8
+    sh = sl = None
+    for pairs in _I8_LEVELS:
+        p = None
+        for s_, t in pairs:
+            if bval[t] is None:
+                bval[t] = (get_chunk(t).astype(jnp.bfloat16)
+                           * jnp.bfloat16(_I8_GRIDS[t]))
+            q = jax.lax.dot_general(
+                a[s_], bval[t], dn,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            p = q if p is None else p + q       # same-level: exact
+        if sh is None:
+            sh, sl = p, jnp.zeros_like(p)
+        else:
+            sh, e = _two_sum(sh, p)
+            sl = sl + e
+    sh, sl = _quick_renorm(sh, sl)
+    scale = sa * sb_row
+    return sh * scale, sl * scale
+
+
+def _ds_matmul_pre_i8(ah, al, get_chunk, sb_row,
+                      transpose_b: bool = False):
+    """Per-lane _ds_matmul_pre_i8_b: ``ah, al`` (R, K), chunks (B, B),
+    ``sb_row`` (1, N)."""
+    a, sa = _chunks7(ah, al, axis=1, as_int8=False)
+    if transpose_b:
+        dn = (((1,), (1,)), ((), ()))
+    else:
+        dn = (((1,), (0,)), ((), ()))
+    bval = [None] * _NCHUNK8
+    sh = sl = None
+    for pairs in _I8_LEVELS:
+        p = None
+        for s_, t in pairs:
+            if bval[t] is None:
+                bval[t] = (get_chunk(t).astype(jnp.bfloat16)
+                           * jnp.bfloat16(_I8_GRIDS[t]))
+            q = jax.lax.dot_general(
+                a[s_], bval[t], dn,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            p = q if p is None else p + q
+        if sh is None:
+            sh, sl = p, jnp.zeros_like(p)
+        else:
+            sh, e = _two_sum(sh, p)
+            sl = sl + e
+    sh, sl = _quick_renorm(sh, sl)
+    scale = sa * sb_row
+    return sh * scale, sl * scale
+
+
 def ds_matmul(ah, al, bh, bl, transpose_b: bool = False):
     """Double-single product of (hi, lo) f32 matrices on the MXU.
 
@@ -941,20 +1063,23 @@ class BandFacPre(NamedTuple):
     dl: jax.Array
 
 
-def prechunk_band_fac(fac) -> BandFacPre:
-    """XLA-level bf16 chunk decomposition of a band_factor_ds factor.
+def prechunk_band_fac(fac, i8: bool = False) -> BandFacPre:
+    """XLA-level chunk decomposition of a band_factor_ds factor.
 
-    Runs the exact _chunks_scaled arithmetic (same float ops, so the
-    stored chunks equal what the solve kernels would have computed
-    in-VMEM) along both contraction orientations of L and Dinv.  The
-    chunks stay SEPARATE arrays (tuples of 7): a stacked (nb, 7, B, B)
-    layout forced XLA to materialize the stack as three 59 MB layout
-    copies per IPM iteration at 128 lanes (~4.4 ms/iter, traced); the
-    solve kernels take the chunks as individual operands instead."""
+    Runs the exact _chunks_scaled (or, with ``i8``, the int8-storage
+    _chunks7) arithmetic (same float ops, so the stored chunks equal
+    what the solve kernels would have computed in-VMEM) along both
+    contraction orientations of L and Dinv.  The chunks stay SEPARATE
+    arrays (tuples): a stacked (nb, nch, B, B) layout forced XLA to
+    materialize the stack as three 59 MB layout copies per IPM
+    iteration at 128 lanes (~4.4 ms/iter, traced); the solve kernels
+    take the chunks as individual operands instead."""
     Lh, Ll, Dih, Dil, dh, dl = fac
+    chunker = (lambda xh, xl, axis: _chunks7(xh, xl, axis)) if i8 \
+        else _chunks_scaled
 
     def mk(xh, xl, axis):
-        chunks, s = _chunks_scaled(xh, xl, axis=axis)
+        chunks, s = chunker(xh, xl, axis=axis)
         row = jnp.squeeze(s, axis=axis)
         srow = jnp.zeros(xh.shape[:-2] + (8, xh.shape[-1]), jnp.float32)
         srow = srow.at[..., 0, :].set(row)
@@ -1003,16 +1128,19 @@ def _ds_matmul_pre(ah, al, get_chunk, sb_row, transpose_b: bool = False):
     return sh * scale, sl * scale
 
 
-def _fwd_kernel_pre(*a):
+def _fwd_kernel_pre(nch, *a):
     """Prechunked forward substitution (see _fwd_kernel).  The factor
-    chunks arrive as 7 separate (1, B, B) refs per operand (stacking
-    them at the XLA level cost a layout copy per call)."""
-    lc = a[0:_NCHUNK]
-    ls_ref = a[_NCHUNK]
-    dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
-    dsc_ref = a[2 * _NCHUNK + 1]
+    chunks arrive as ``nch`` separate (1, B, B) refs per operand
+    (stacking them at the XLA level cost a layout copy per call); int8
+    chunks route through the 7-bit-grid product."""
+    lc = a[0:nch]
+    ls_ref = a[nch]
+    dc = a[nch + 1:2 * nch + 1]
+    dsc_ref = a[2 * nch + 1]
     (dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
-     c_yh, c_yl) = a[2 * _NCHUNK + 2:]
+     c_yh, c_yl) = a[2 * nch + 2:]
+    mm = (_ds_matmul_pre_i8 if lc[0].dtype == jnp.int8
+          else _ds_matmul_pre)
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -1020,12 +1148,12 @@ def _fwd_kernel_pre(*a):
         c_yh[...] = jnp.zeros_like(c_yh)
         c_yl[...] = jnp.zeros_like(c_yl)
 
-    th, tl = _ds_matmul_pre(c_yh[...], c_yl[...],
-                            lambda t: lc[t][0], ls_ref[0, 0:1, :],
-                            transpose_b=True)
+    th, tl = mm(c_yh[...], c_yl[...],
+                lambda t: lc[t][0], ls_ref[0, 0:1, :],
+                transpose_b=True)
     ah, al = ds_add(_rd(xh_ref), _rd(xl_ref), -th, -tl)
-    yh, yl = _ds_matmul_pre(ah, al, lambda t: dc[t][0],
-                            dsc_ref[0, 0:1, :], transpose_b=True)
+    yh, yl = mm(ah, al, lambda t: dc[t][0],
+                dsc_ref[0, 0:1, :], transpose_b=True)
     dh = _rd(dh_ref)[0:1]
     dl = _rd(dl_ref)[0:1]
     wh, wl = ds_div(yh, yl, jnp.broadcast_to(dh, (KP, B)),
@@ -1036,16 +1164,18 @@ def _fwd_kernel_pre(*a):
     c_yl[...] = yl
 
 
-def _bwd_kernel_pre(*a):
+def _bwd_kernel_pre(nch, *a):
     """Prechunked backward substitution (see _bwd_kernel); the scratch
-    carries z_{k+1} and the CHUNKS of L_{k+1}.  Chunks arrive as 7
+    carries z_{k+1} and the CHUNKS of L_{k+1}.  Chunks arrive as ``nch``
     separate refs per operand (see _fwd_kernel_pre)."""
-    lc = a[0:_NCHUNK]
-    ls_ref = a[_NCHUNK]
-    dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
-    dsc_ref = a[2 * _NCHUNK + 1]
+    lc = a[0:nch]
+    ls_ref = a[nch]
+    dc = a[nch + 1:2 * nch + 1]
+    dsc_ref = a[2 * nch + 1]
     (wh_ref, wl_ref, zh_ref, zl_ref,
-     c_zh, c_zl, c_lc, c_ls) = a[2 * _NCHUNK + 2:]
+     c_zh, c_zl, c_lc, c_ls) = a[2 * nch + 2:]
+    mm = (_ds_matmul_pre_i8 if lc[0].dtype == jnp.int8
+          else _ds_matmul_pre)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1055,17 +1185,17 @@ def _bwd_kernel_pre(*a):
         c_lc[...] = jnp.zeros_like(c_lc)
         c_ls[...] = jnp.zeros_like(c_ls)
 
-    th, tl = _ds_matmul_pre(c_zh[...], c_zl[...],
-                            lambda t: c_lc[pl.ds(t * B, B), :],
-                            c_ls[0:1, :], transpose_b=False)
+    th, tl = mm(c_zh[...], c_zl[...],
+                lambda t: c_lc[pl.ds(t * B, B), :],
+                c_ls[0:1, :], transpose_b=False)
     ah, al = ds_add(_rd(wh_ref), _rd(wl_ref), -th, -tl)
-    zh, zl = _ds_matmul_pre(ah, al, lambda t: dc[t][0],
-                            dsc_ref[0, 0:1, :], transpose_b=False)
+    zh, zl = mm(ah, al, lambda t: dc[t][0],
+                dsc_ref[0, 0:1, :], transpose_b=False)
     _wr(zh_ref, zh)
     _wr(zl_ref, zl)
     c_zh[...] = zh
     c_zl[...] = zl
-    for t in range(_NCHUNK):
+    for t in range(nch):
         c_lc[pl.ds(t * B, B), :] = lc[t][0]
     c_ls[...] = ls_ref[0]
 
@@ -1076,6 +1206,8 @@ def _band_solve_ds_pre_impl(pre: BandFacPre, rhs_t,
     """band_solve_ds against a prechunked factor — bit-identical output,
     no per-call chunk decomposition of the factor blocks."""
     nb = pre.lc1[0].shape[0]
+    nch = len(pre.lc1)
+    cdt = pre.lc1[0].dtype
     D = nb * B
     assert rhs_t.shape == (KP, D), rhs_t.shape
 
@@ -1102,9 +1234,9 @@ def _band_solve_ds_pre_impl(pre: BandFacPre, rhs_t,
     arb = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
     with jax.enable_x64(False):
         wh, wl = pl.pallas_call(
-            _fwd_kernel_pre, grid=(nb,),
-            in_specs=[spec_bb] * _NCHUNK + [spec_d]
-            + [spec_bb] * _NCHUNK + [spec_d] + [spec_d] * 2
+            functools.partial(_fwd_kernel_pre, nch), grid=(nb,),
+            in_specs=[spec_bb] * nch + [spec_d]
+            + [spec_bb] * nch + [spec_d] + [spec_d] * 2
             + [spec_x] * 2,
             out_specs=(spec_x, spec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2,
@@ -1112,12 +1244,12 @@ def _band_solve_ds_pre_impl(pre: BandFacPre, rhs_t,
             interpret=interpret,
         )(*pre.lc1, pre.ls1, *pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
         zh, zl = pl.pallas_call(
-            _bwd_kernel_pre, grid=(nb,),
-            in_specs=[rspec_bb] * _NCHUNK + [rspec_d]
-            + [rspec_bb] * _NCHUNK + [rspec_d] + [rspec_x] * 2,
+            functools.partial(_bwd_kernel_pre, nch), grid=(nb,),
+            in_specs=[rspec_bb] * nch + [rspec_d]
+            + [rspec_bb] * nch + [rspec_d] + [rspec_x] * 2,
             out_specs=(rspec_x, rspec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2
-            + [pltpu.VMEM((_NCHUNK * B, B), jnp.bfloat16),
+            + [pltpu.VMEM((nch * B, B), cdt),
                pltpu.VMEM((8, B), jnp.float32)],
             compiler_params=arb,
             interpret=interpret,
@@ -1176,14 +1308,16 @@ def _ds_matmul_pre_b(ah, al, get_chunk, sb_row, T: int,
     return sh * scale, sl * scale
 
 
-def _make_fwd_kernel_pre_b(T: int):
+def _make_fwd_kernel_pre_b(T: int, nch: int = _NCHUNK):
     def kern(*a):
-        lc = a[0:_NCHUNK]                    # (T, 1, B, B) refs
-        ls_ref = a[_NCHUNK]                  # (T, 1, 8, B)
-        dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
-        dsc_ref = a[2 * _NCHUNK + 1]
+        lc = a[0:nch]                        # (T, 1, B, B) refs
+        ls_ref = a[nch]                      # (T, 1, 8, B)
+        dc = a[nch + 1:2 * nch + 1]
+        dsc_ref = a[2 * nch + 1]
         (dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
-         c_yh, c_yl) = a[2 * _NCHUNK + 2:]
+         c_yh, c_yl) = a[2 * nch + 2:]
+        mm = (_ds_matmul_pre_i8_b if lc[0].dtype == jnp.int8
+              else _ds_matmul_pre_b)
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -1191,7 +1325,7 @@ def _make_fwd_kernel_pre_b(T: int):
             c_yh[...] = jnp.zeros_like(c_yh)
             c_yl[...] = jnp.zeros_like(c_yl)
 
-        th, tl = _ds_matmul_pre_b(
+        th, tl = mm(
             _bT(c_yh[...], T), _bT(c_yl[...], T),
             lambda t: lc[t][...].reshape(T, B, B),
             ls_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
@@ -1199,7 +1333,7 @@ def _make_fwd_kernel_pre_b(T: int):
         xh = xh_ref[...].reshape(T, KP, B)
         xl = xl_ref[...].reshape(T, KP, B)
         ah2, al2 = ds_add(xh, xl, -th, -tl)
-        yh, yl = _ds_matmul_pre_b(
+        yh, yl = mm(
             ah2, al2, lambda t: dc[t][...].reshape(T, B, B),
             dsc_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
             transpose_b=True)
@@ -1215,14 +1349,16 @@ def _make_fwd_kernel_pre_b(T: int):
     return kern
 
 
-def _make_bwd_kernel_pre_b(T: int):
+def _make_bwd_kernel_pre_b(T: int, nch: int = _NCHUNK):
     def kern(*a):
-        lc = a[0:_NCHUNK]
-        ls_ref = a[_NCHUNK]
-        dc = a[_NCHUNK + 1:2 * _NCHUNK + 1]
-        dsc_ref = a[2 * _NCHUNK + 1]
+        lc = a[0:nch]
+        ls_ref = a[nch]
+        dc = a[nch + 1:2 * nch + 1]
+        dsc_ref = a[2 * nch + 1]
         (wh_ref, wl_ref, zh_ref, zl_ref,
-         c_zh, c_zl, c_lc, c_ls) = a[2 * _NCHUNK + 2:]
+         c_zh, c_zl, c_lc, c_ls) = a[2 * nch + 2:]
+        mm = (_ds_matmul_pre_i8_b if lc[0].dtype == jnp.int8
+              else _ds_matmul_pre_b)
         i = pl.program_id(1)
 
         @pl.when(i == 0)
@@ -1234,14 +1370,14 @@ def _make_bwd_kernel_pre_b(T: int):
 
         # chunk-major scratch layout: chunk t of the carried L_{k+1}
         # occupies rows [t*T*B, (t+1)*T*B), lanes contiguous within
-        th, tl = _ds_matmul_pre_b(
+        th, tl = mm(
             _bT(c_zh[...], T), _bT(c_zl[...], T),
             lambda t: c_lc[pl.ds(t * T * B, T * B), :].reshape(T, B, B),
             _bT(c_ls[...], T)[:, 0:1, :], T, transpose_b=False)
         wh = wh_ref[...].reshape(T, KP, B)
         wl = wl_ref[...].reshape(T, KP, B)
         ah2, al2 = ds_add(wh, wl, -th, -tl)
-        zh, zl = _ds_matmul_pre_b(
+        zh, zl = mm(
             ah2, al2, lambda t: dc[t][...].reshape(T, B, B),
             dsc_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
             transpose_b=False)
@@ -1249,7 +1385,7 @@ def _make_bwd_kernel_pre_b(T: int):
         _wr(zl_ref, zl)
         c_zh[...] = zh.reshape(T * KP, B)
         c_zl[...] = zl.reshape(T * KP, B)
-        for t in range(_NCHUNK):
+        for t in range(nch):
             c_lc[pl.ds(t * T * B, T * B), :] = (
                 lc[t][...].reshape(T * B, B))
         c_ls[...] = ls_ref[...].reshape(T * 8, B)
@@ -1276,6 +1412,9 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
     check."""
     L = rhs_t.shape[0]
     nb = pre.lc1[0].shape[1]
+    nch = len(pre.lc1)
+    cdt = pre.lc1[0].dtype
+    csz = jnp.dtype(cdt).itemsize
     D = nb * B
     assert rhs_t.shape == (L, KP, D), rhs_t.shape
     Lp = -(-L // T) * T
@@ -1318,13 +1457,21 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
                            lambda t, k: (t, nb - 1 - k, 0, 0),
                            memory_space=pltpu.VMEM)
     out_sh = (jax.ShapeDtypeStruct((Lp, nb, KP, B), jnp.float32),) * 2
-    arb = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary", "arbitrary"))
+    # double-buffered in-blocks: 2 x 2*nch chunk blocks plus the f32
+    # rhs/out slabs; past the 16 MB default scoped budget (bf16 T=16
+    # lands at ~16.5 MB) raise the limit — the chip has 128 MB
+    vmem = (2 * (2 * nch * T * B * B * csz + 4 * T * 8 * B * 4
+                 + 4 * T * KP * B * 4)
+            + (2 + nch) * T * max(KP, B) * B * 4)
+    params = dict(dimension_semantics=("arbitrary", "arbitrary"))
+    if vmem > 15 * 2 ** 20:
+        params["vmem_limit_bytes"] = 100 * 2 ** 20
+    arb = pltpu.CompilerParams(**params)
     with jax.enable_x64(False):
         wh, wl = pl.pallas_call(
-            _make_fwd_kernel_pre_b(T), grid=(Lp // T, nb),
-            in_specs=[spec_bb] * _NCHUNK + [spec_d]
-            + [spec_bb] * _NCHUNK + [spec_d] + [spec_d] * 2
+            _make_fwd_kernel_pre_b(T, nch), grid=(Lp // T, nb),
+            in_specs=[spec_bb] * nch + [spec_d]
+            + [spec_bb] * nch + [spec_d] + [spec_d] * 2
             + [spec_x] * 2,
             out_specs=(spec_x, spec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((T * KP, B), jnp.float32)] * 2,
@@ -1332,12 +1479,12 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
             interpret=interpret,
         )(*pre.lc1, pre.ls1, *pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
         zh, zl = pl.pallas_call(
-            _make_bwd_kernel_pre_b(T), grid=(Lp // T, nb),
-            in_specs=[rspec_bb] * _NCHUNK + [rspec_d]
-            + [rspec_bb] * _NCHUNK + [rspec_d] + [rspec_x] * 2,
+            _make_bwd_kernel_pre_b(T, nch), grid=(Lp // T, nb),
+            in_specs=[rspec_bb] * nch + [rspec_d]
+            + [rspec_bb] * nch + [rspec_d] + [rspec_x] * 2,
             out_specs=(rspec_x, rspec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((T * KP, B), jnp.float32)] * 2
-            + [pltpu.VMEM((_NCHUNK * T * B, B), jnp.bfloat16),
+            + [pltpu.VMEM((nch * T * B, B), cdt),
                pltpu.VMEM((T * 8, B), jnp.float32)],
             compiler_params=arb,
             interpret=interpret,
@@ -1398,28 +1545,33 @@ def _scale_lane_row(s, T: int):
                    axis=1, keepdims=True)
 
 
-def _make_band_factor_tiled_pre(T: int):
+def _make_band_factor_tiled_pre(T: int, i8: bool = False):
+    nch = _NCHUNK8 if i8 else _NCHUNK
+    chunker = (lambda xh, xl, axis: _chunks7(xh, xl, axis)) if i8 \
+        else _chunks_scaled
+    mm_pre = _ds_matmul_pre_i8_b if i8 else _ds_matmul_pre_b
+
     def srow(v):
         """(T, 1, B) -> (T, 8, B) with row 0 live (the stored format)."""
         row0 = lax.broadcasted_iota(jnp.int32, (1, 8, B), 1) == 0
         return jnp.where(row0, jnp.broadcast_to(v, (T, 8, B)), 0.0)
 
     def kern(kdh_ref, kdl_ref, ksh_ref, ksl_ref, *o):
-        lc1 = o[0:_NCHUNK]
-        ls1_ref = o[_NCHUNK]
-        dc1 = o[_NCHUNK + 1:2 * _NCHUNK + 1]
-        ds1_ref = o[2 * _NCHUNK + 1]
-        lc0 = o[2 * _NCHUNK + 2:3 * _NCHUNK + 2]
-        ls0_ref = o[3 * _NCHUNK + 2]
-        dc0 = o[3 * _NCHUNK + 3:4 * _NCHUNK + 3]
-        ds0_ref = o[4 * _NCHUNK + 3]
-        (dh_ref, dl_ref, c_dih, c_dil, c_dh, c_dl) = o[4 * _NCHUNK + 4:]
+        lc1 = o[0:nch]
+        ls1_ref = o[nch]
+        dc1 = o[nch + 1:2 * nch + 1]
+        ds1_ref = o[2 * nch + 1]
+        lc0 = o[2 * nch + 2:3 * nch + 2]
+        ls0_ref = o[3 * nch + 2]
+        dc0 = o[3 * nch + 3:4 * nch + 3]
+        ds0_ref = o[4 * nch + 3]
+        (dh_ref, dl_ref, c_dc, c_dsc, c_dh, c_dl) = o[4 * nch + 4:]
         k = pl.program_id(1)
 
         @pl.when(k == 0)
         def _init():
-            c_dih[...] = jnp.zeros_like(c_dih)
-            c_dil[...] = jnp.zeros_like(c_dil)
+            c_dc[...] = jnp.zeros_like(c_dc)
+            c_dsc[...] = jnp.ones_like(c_dsc)
             c_dh[...] = jnp.ones_like(c_dh)
             c_dl[...] = jnp.zeros_like(c_dl)
 
@@ -1427,11 +1579,20 @@ def _make_band_factor_tiled_pre(T: int):
         Kdl = kdl_ref[...].reshape(T, B, B)
         Ksh = ksh_ref[...].reshape(T, B, B)
         Ksl = ksl_ref[...].reshape(T, B, B)
-        Dpih = _bT(c_dih[...], T)
-        Dpil = _bT(c_dil[...], T)
         dph = _bT(c_dh[...], T)[:, 0:1, :]
         dpl = _bT(c_dl[...], T)[:, 0:1, :]
-        ph, plo = _ds_matmul_b(Ksh, Ksl, Dpih, Dpil, T)
+        # X_{k-1} arrives as the CHUNKS emitted for dc1 last step (carried
+        # in scratch) — the axis-2 decomposition _ds_matmul_b would have
+        # recomputed on the f32 pair, skipped here; _ds_matmul_pre_b's
+        # per-pair dot-plus-f32-add form equals the concatenated pair
+        # dots exactly (both are <= 2^24 integers on the level grid), so
+        # the product is bit-identical to the pair-carry form (on the
+        # i8 scheme the 7-bit grids round L differently — consistent
+        # with the scheme's solve-side arithmetic)
+        ph, plo = mm_pre(
+            Ksh, Ksl,
+            lambda t: c_dc[pl.ds(t * T * B, T * B), :].reshape(T, B, B),
+            _bT(c_dsc[...], T)[:, 0:1, :], T, transpose_b=True)
         Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (T, B, B)),
                         jnp.broadcast_to(dpl, (T, B, B)))
         e = _pow2_half(dph)
@@ -1446,36 +1607,45 @@ def _make_band_factor_tiled_pre(T: int):
         Mh, Ml = ds_add(Kdh, Kdl, -uh, -ul)
         (dh, dl), (Xh, Xl) = _leaf_eliminate_blocked_b(Mh, Ml)
         # chunk decompositions of L and Dinv, both orientations — the
-        # same arithmetic prechunk_band_fac ran at the XLA level
+        # same arithmetic prechunk_band_fac ran at the XLA level; the
+        # axis-2 X chunks double as the next step's GEMM operand (the
+        # scratch carry above)
         for src_h, src_l, cref, sref, axis in (
-                (Lh, Ll, lc1, ls1_ref, 2), (Xh, Xl, dc1, ds1_ref, 2),
-                (Lh, Ll, lc0, ls0_ref, 1), (Xh, Xl, dc0, ds0_ref, 1)):
-            ch, s = _chunks_scaled(src_h, src_l, axis=axis)
-            for t in range(_NCHUNK):
+                (Lh, Ll, lc1, ls1_ref, 2), (Lh, Ll, lc0, ls0_ref, 1),
+                (Xh, Xl, dc0, ds0_ref, 1)):
+            ch, s = chunker(src_h, src_l, axis=axis)
+            for t in range(nch):
                 _wr(cref[t], ch[t])
             v = _scale_lane_row(s, T) if axis == 2 else s
             _wr(sref, srow(v))
+        ch, s = chunker(Xh, Xl, axis=2)
+        sx = srow(_scale_lane_row(s, T))
+        for t in range(nch):
+            _wr(dc1[t], ch[t])
+            c_dc[pl.ds(t * T * B, T * B), :] = ch[t].reshape(T * B, B)
+        _wr(ds1_ref, sx)
+        c_dsc[...] = sx.reshape(T * 8, B)
         dbb = jnp.broadcast_to(dh, (T, 8, B))
         dbl = jnp.broadcast_to(dl, (T, 8, B))
         _wr(dh_ref, dbb)
         _wr(dl_ref, dbl)
-        c_dih[...] = Xh.reshape(T * B, B)
-        c_dil[...] = Xl.reshape(T * B, B)
         c_dh[...] = dbb.reshape(T * 8, B)
         c_dl[...] = dbl.reshape(T * 8, B)
 
     return kern
 
 
-@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+@functools.partial(jax.jit, static_argnames=("T", "interpret", "i8"))
 def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
-                           interpret: bool = False):
+                           interpret: bool = False, i8: bool = False):
     """Lane-tiled bwb=1 factor emitting the prechunked factor directly:
     (L, nb, B, B) float64 inputs -> BandFacPre with a leading lane axis.
-    Bit-identical to prechunk_band_fac(band_factor_ds(...))."""
+    Bit-identical to prechunk_band_fac(band_factor_ds(...), i8=i8)."""
     L, nb = Kdiag.shape[0], Kdiag.shape[1]
     assert Kdiag.shape == (L, nb, B, B) and Ksub.shape == (L, nb, B, B)
     assert Kdiag.dtype == jnp.float64
+    nch = _NCHUNK8 if i8 else _NCHUNK
+    cdt = jnp.int8 if i8 else jnp.bfloat16
     Lp = -(-L // T) * T
     if Lp != L:
         eye = jnp.broadcast_to(jnp.eye(B, dtype=Kdiag.dtype),
@@ -1494,20 +1664,24 @@ def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
                            memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec((T, 1, 8, B), lambda t, k: (t, k, 0, 0),
                           memory_space=pltpu.VMEM)
-    sh_c = jax.ShapeDtypeStruct((Lp, nb, B, B), jnp.bfloat16)
+    sh_c = jax.ShapeDtypeStruct((Lp, nb, B, B), cdt)
     sh_s = jax.ShapeDtypeStruct((Lp, nb, 8, B), jnp.float32)
-    group = (spec_bb,) * _NCHUNK + (spec_d,)
-    gshape = (sh_c,) * _NCHUNK + (sh_s,)
+    group = (spec_bb,) * nch + (spec_d,)
+    gshape = (sh_c,) * nch + (sh_s,)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _make_band_factor_tiled_pre(T),
+            _make_band_factor_tiled_pre(T, i8),
             grid=(Lp // T, nb),
             in_specs=[spec_bb] * 4,
             out_specs=group * 4 + (spec_d, spec_d),
             out_shape=gshape * 4 + (sh_s, sh_s),
             scratch_shapes=[
-                pltpu.VMEM((T * B, B), jnp.float32),
-                pltpu.VMEM((T * B, B), jnp.float32),
+                # X_{k-1} carried as its dc1 chunks + scale row (bf16/
+                # int8: 2.3-4.6x less scratch than the f32 pair it
+                # replaced, and the next step's GEMM skips the
+                # re-decomposition)
+                pltpu.VMEM((nch * T * B, B), cdt),
+                pltpu.VMEM((T * 8, B), jnp.float32),
                 pltpu.VMEM((T * 8, B), jnp.float32),
                 pltpu.VMEM((T * 8, B), jnp.float32),
             ],
@@ -1518,12 +1692,12 @@ def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
         )(kdh, kdl, ksh, ksl)
     if Lp != L:
         out = tuple(x[:L] for x in out)
-    N = _NCHUNK + 1
+    N = nch + 1
     g = [out[i * N:(i + 1) * N] for i in range(4)]
-    return BandFacPre(tuple(g[0][:_NCHUNK]), g[0][_NCHUNK],
-                      tuple(g[1][:_NCHUNK]), g[1][_NCHUNK],
-                      tuple(g[2][:_NCHUNK]), g[2][_NCHUNK],
-                      tuple(g[3][:_NCHUNK]), g[3][_NCHUNK],
+    return BandFacPre(tuple(g[0][:nch]), g[0][nch],
+                      tuple(g[1][:nch]), g[1][nch],
+                      tuple(g[2][:nch]), g[2][nch],
+                      tuple(g[3][:nch]), g[3][nch],
                       out[4 * N], out[4 * N + 1])
 
 
@@ -1548,9 +1722,33 @@ try:  # pragma: no cover - custom_batching present in all supported jax
                 lambda a, b: prechunk_band_fac(_band_factor_ds_impl(a, b)),
                 in_axes=(0 if kd_b else None, 0 if ks_b else None))(Kd, Ks)
         return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    @_cb3.custom_vmap
+    def band_factor_ds_pre_i8(Kdiag, Ksub):
+        """band_factor_ds_pre with INT8 chunk storage (7-bit grids —
+        43% less solve-stream HBM; see the int8 header note).  Selected
+        per-factorization by Settings.chunk_store in kkt.py."""
+        return prechunk_band_fac(_band_factor_ds_impl(Kdiag, Ksub),
+                                 i8=True)
+
+    @band_factor_ds_pre_i8.def_vmap
+    def _band_factor_ds_pre_i8_vmap(axis_size, in_batched, Kd, Ks):
+        kd_b, ks_b = in_batched
+        if kd_b and ks_b and Kd.ndim == 4:
+            out = _band_factor_pre_batch(Kd, Ks, i8=True)
+        else:
+            out = jax.vmap(
+                lambda a, b: prechunk_band_fac(
+                    _band_factor_ds_impl(a, b), i8=True),
+                in_axes=(0 if kd_b else None, 0 if ks_b else None))(Kd, Ks)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
 except Exception:  # pragma: no cover
     def band_factor_ds_pre(Kdiag, Ksub):
         return prechunk_band_fac(_band_factor_ds_impl(Kdiag, Ksub))
+
+    def band_factor_ds_pre_i8(Kdiag, Ksub):
+        return prechunk_band_fac(_band_factor_ds_impl(Kdiag, Ksub),
+                                 i8=True)
 
 
 # --------------------------------------------- factor kernel (bwb 2..8)

@@ -73,3 +73,11 @@ class Settings:
     # (~7e-7 relative), absorbed by float64 refinement.  Leaf
     # factorizations stay double-single regardless.
     band_gemm: str = "float64"
+    # storage of the banded factor's prechunked solve operands
+    # ("bf16" | "i8").  The refinement solves are HBM-stream-bound;
+    # "i8" stores the chunk decompositions as 7-bit-grid int8 integers
+    # (8 B/element vs bf16's 14 — same exact-product arithmetic after
+    # an exact in-kernel convert; see ops/pallas_band_ds.py's int8
+    # header note).  Affects rounding at ~2^-49: lane-level exit flips
+    # are absorbed by the exit-time f64 recheck + rescue protocol.
+    chunk_store: str = "bf16"

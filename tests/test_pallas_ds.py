@@ -911,3 +911,93 @@ def test_ldl_prechunk_solve_matches():
     # under refinement — here just pin the numerical class
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 1e-11
+
+
+# ------------------------- int8 chunk storage (Settings.chunk_store) ----
+
+def _band_inputs_i8(L=2, nb=3, seed=7, spread=4):
+    from eicos_tpu.ops.pallas_band_ds import B
+
+    rng = np.random.default_rng(seed)
+    Kd = np.zeros((L, nb, B, B))
+    Ks = rng.standard_normal((L, nb, B, B)) * 0.3
+    for k in range(nb):
+        A = rng.standard_normal((L, B, B)) * 0.2
+        s = (np.exp(rng.uniform(-spread, spread, (L, B)))
+             * np.sign(rng.standard_normal((L, B))))
+        Kd[:, k] = (A + A.transpose(0, 2, 1)) / 2
+        Kd[:, k] += np.einsum("lb,bc->lbc", s * 4, np.eye(B))
+    Ks[:, 0] = 0
+    return jnp.asarray(Kd), jnp.asarray(Ks)
+
+
+def test_chunks7_int8_range_and_reconstruction():
+    """_chunks7 int8 storage invariants: every chunk integer fits int8
+    with the documented <= 72 bound (the one-dot-exactness argument and
+    the int8 range both rest on it), and the chunks reconstruct the
+    (hi, lo) value to the ~2^-55-of-scale tail."""
+    from eicos_tpu.ops.pallas_band_ds import _NCHUNK8, _chunks7
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((128, 128))
+         * np.exp(rng.uniform(-18, 18, (128, 128))))
+    # adversarial values: exact powers of two and near-pow2 edges where
+    # round-to-nearest could push chunk 0 to the +-128 int8 edge
+    x[0, :4] = [1.0, -1.0, 2.0 ** 60, -(2.0 ** -60)]
+    x[1, :3] = [np.nextafter(1.0, 2.0), np.nextafter(1.0, 0.0), 0.75]
+    xh, xl = _split64(x)
+    with jax.enable_x64(False):
+        chunks, s = jax.jit(
+            lambda a, b: _chunks7(a, b, axis=1))(xh, xl)
+    assert len(chunks) == _NCHUNK8
+    recon = np.zeros((128, 128))
+    sv = np.asarray(s, np.float64)
+    for t, c in enumerate(chunks):
+        ci = np.asarray(c, np.int64)
+        assert c.dtype == jnp.int8
+        assert np.abs(ci).max() <= 72, (t, np.abs(ci).max())
+        recon += ci.astype(np.float64) * 2.0 ** (-7 * (t + 1))
+    err = np.abs(recon * sv - np.asarray(x)) / sv
+    # measured tail ~2^-51 of scale (fold-capture + f64 recon rounding)
+    # — at/below the bf16 scheme's single-fold ~2^-49 class
+    assert err.max() < 2.0 ** -50, err.max()
+
+
+def test_i8_band_solve_batched_matches_per_lane():
+    """The lane-tiled solve on an int8-stored factor is bit-identical to
+    the per-lane kernel in interpret mode (same dispatch rule the bf16
+    path pins), and the factor+solve stays in the same accuracy class
+    as the bf16 scheme on a quasidefinite band."""
+    from eicos_tpu.ops.pallas_band_ds import (
+        KP, B, _band_factor_pre_batch, _band_solve_ds_pre_impl,
+        _band_solve_pre_batch)
+
+    L, nb = 2, 3
+    Kd, Ks = _band_inputs_i8(L, nb)
+    rng = np.random.default_rng(11)
+    rhs = jnp.asarray(rng.standard_normal((L, KP, nb * B)))
+    pre = _band_factor_pre_batch(Kd, Ks, T=2, interpret=True, i8=True)
+    assert pre.lc1[0].dtype == jnp.int8 and len(pre.lc1) == 8
+    got_b = np.asarray(_band_solve_pre_batch(pre, rhs, T=2,
+                                             interpret=True))
+    got_l = np.asarray(jax.vmap(
+        lambda p, r: _band_solve_ds_pre_impl(p, r, interpret=True)
+    )(pre, rhs))
+    np.testing.assert_array_equal(got_b, got_l)
+
+    # accuracy class vs the bf16 scheme (dense f64 oracle residuals)
+    pre16 = _band_factor_pre_batch(Kd, Ks, T=2, interpret=True, i8=False)
+    got16 = np.asarray(_band_solve_pre_batch(pre16, rhs, T=2,
+                                             interpret=True))
+    Kfull = np.zeros((L, nb * B, nb * B))
+    Kdn, Ksn = np.asarray(Kd), np.asarray(Ks)
+    for k in range(nb):
+        Kfull[:, k * B:(k + 1) * B, k * B:(k + 1) * B] = Kdn[:, k]
+        if k:
+            Kfull[:, k * B:(k + 1) * B, (k - 1) * B:k * B] = Ksn[:, k]
+            Kfull[:, (k - 1) * B:k * B, k * B:(k + 1) * B] = (
+                Ksn[:, k].transpose(0, 2, 1))
+    rn = np.asarray(rhs)
+    res8 = np.abs(np.einsum("lij,lkj->lki", Kfull, got_b) - rn).max()
+    res16 = np.abs(np.einsum("lij,lkj->lki", Kfull, got16) - rn).max()
+    assert res8 < 10 * max(res16, 1e-12), (res8, res16)

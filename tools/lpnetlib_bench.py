@@ -38,6 +38,9 @@ def run_batched(args):
 
     settings = Settings(kkt_strategy=args.strategy,
                         factor_dtype=args.factor_dtype)
+    rescue = (Settings(kkt_strategy=args.strategy,
+                       factor_dtype="float64")
+              if args.rescue else None)
     N = args.batch
     rng = np.random.default_rng(17)
     rows = []
@@ -54,7 +57,8 @@ def run_batched(args):
                                         h=prob.h, b=prob.b))
         shared = ("G", "A", "h", "b")
         batch = BatchedSolver.stack(probs, shared=shared)
-        bs = BatchedSolver(st, settings, shared=shared)
+        bs = BatchedSolver(st, settings, shared=shared,
+                           rescue=rescue)
         sols = bs.solve(batch)  # compile + warm
         codes = np.asarray(jax.device_get(sols.exit_code))
         ts = []
@@ -89,6 +93,9 @@ def main():
     ap.add_argument("--strategy", default="reduced")
     ap.add_argument("--factor-dtype", default="float64")
     ap.add_argument("--problems", default=",".join(ALL))
+    ap.add_argument("--rescue", action="store_true",
+                    help="batched runs: re-solve non-OPTIMAL lanes on the\n"
+                         "float64 reduced path (cost lands in the timed loop)")
     ap.add_argument("--batch", type=int, default=0,
                     help="lanes for the batched measurement (0 = table)")
     args = ap.parse_args()

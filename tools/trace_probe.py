@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--logdir", default="/tmp/jtrace")
     ap.add_argument("--nitref", type=int, default=9,
                     help="iterative-refinement trip cap (settings.nitref)")
+    ap.add_argument("--socp", action="store_true",
+                    help="profile the SOCP bench lane (make_mpc_soc, "
+                         "keep_soc banded) instead of the LP lane")
+    ap.add_argument("--i8", action="store_true",
+                    help="chunk_store='i8' (int8-stored solve streams)")
     args = ap.parse_args()
 
     import jax
@@ -36,8 +41,12 @@ def main():
     from eicos_tpu.api import BatchedSolver
     from eicos_tpu.settings import Settings
 
-    st, probs, batch, shared = bench.build_batch()
-    settings = Settings(kkt_strategy="banded", nitref=args.nitref)
+    if args.socp:
+        st, batch, shared = bench.build_socp_batch()
+    else:
+        st, probs, batch, shared = bench.build_batch()
+    settings = Settings(kkt_strategy="banded", nitref=args.nitref,
+                        chunk_store=("i8" if args.i8 else "bf16"))
     bs = BatchedSolver(st, settings, shared=shared)
     sub = bench._slice_batch(batch, shared, args.lanes)
 

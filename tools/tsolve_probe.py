@@ -56,6 +56,39 @@ def main():
     print(f"reference: per-lane _band_solve_ds_pre_impl vmap "
           f"(L={L}, nb={nb})", flush=True)
 
+    # f64 ground truth: the chunks are exact multiples of their grid, so
+    # L and Dinv reconstruct exactly in f64; the band solve then runs in
+    # numpy f64 (errors ~2^-52 << the kernels' ~2^-48 target, so this
+    # ranks the hardware paths' accuracy)
+    def recon(chunks, srow, axis):
+        s = np.asarray(jax.device_get(srow))[:, :, 0, :]   # (L, nb, B)
+        tot = np.zeros((L, nb, B, B))
+        for c in chunks:
+            tot += np.asarray(jax.device_get(c), np.float64)
+        return tot * (s[:, :, None, :] if axis == 1 else s[:, :, :, None])
+
+    Lm = recon(pre.lc0, pre.ls0, axis=1)     # chunked along axis -2
+    Xm = recon(pre.dc0, pre.ds0, axis=1)
+    dv = (np.asarray(jax.device_get(pre.dh), np.float64)[:, :, 0, :]
+          + np.asarray(jax.device_get(pre.dl), np.float64)[:, :, 0, :])
+    r = np.asarray(jax.device_get(rhs)).reshape(L, KP, nb, B)
+    y = np.zeros((L, nb, KP, B))
+    for k in range(nb):
+        t = r[:, :, k] - (0 if k == 0 else
+                          np.einsum("lrb,lbc->lrc", y[:, k - 1],
+                                    np.swapaxes(Lm[:, k], 1, 2)))
+        y[:, k] = np.einsum("lrb,lbc->lrc", t, np.swapaxes(Xm[:, k], 1, 2))
+    w = y / dv[:, :, None, :]
+    z = np.zeros((L, nb, KP, B))
+    for k in range(nb - 1, -1, -1):
+        t = w[:, k] - (0 if k == nb - 1 else
+                       np.einsum("lrb,lbc->lrc", z[:, k + 1], Lm[:, k + 1]))
+        z[:, k] = np.einsum("lrb,lbc->lrc", t, Xm[:, k])
+    truth = z.transpose(0, 2, 1, 3).reshape(L, KP, nb * B)
+    scale = np.maximum(np.abs(truth), 1e-300)
+    err_ref = float(np.max(np.abs(ref - truth) / scale))
+    print(f"per-lane vs f64 truth: max rel err {err_ref:.3e}", flush=True)
+
     for T in (4, 8, 16):
         run = jax.jit(lambda pre, rhs, T=T: jax.lax.fori_loop(
             0, R,
@@ -84,8 +117,11 @@ def main():
         fv2 = np.asarray(jax.device_get(full(pre, rhs)))
         same = bool(np.array_equal(ref, fv1))
         det = bool(np.array_equal(fv1, fv2))
+        dref = float(np.max(np.abs(fv1 - ref) / scale))
+        dtru = float(np.max(np.abs(fv1 - truth) / scale))
         print(f"T={T:2d}: {t:7.2f} ms/solve-call  bit-identical-to-ref="
-              f"{same}  deterministic={det}", flush=True)
+              f"{same}  deterministic={det}  relerr vs ref {dref:.3e} "
+              f"vs truth {dtru:.3e}", flush=True)
 
 
 if __name__ == "__main__":
