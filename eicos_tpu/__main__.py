@@ -43,9 +43,16 @@ def cmd_solve(args) -> int:
     st, prob = load_problem(args.problem)
     st = _attach_plan(args, st, prob)
     t0 = time.time()
-    sol = jax.device_get(solve(st, prob, _settings(args)))
+    if args.live:
+        # stream the iteration table DURING the solve (segmented
+        # dispatch — works through the axon TPU tunnel)
+        from .solver import solve_live
+
+        sol = jax.device_get(solve_live(st, prob, _settings(args)))
+    else:
+        sol = jax.device_get(solve(st, prob, _settings(args)))
     dt = time.time() - t0
-    if args.verbose:
+    if args.verbose and not args.live:
         print_iteration_table(sol)
     print_summary(st, sol)
     print(f"wall:   {1e3 * dt:.1f} ms (incl. compile)")
@@ -97,6 +104,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("solve", help="solve a problem saved as .npz")
     p.add_argument("problem")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--live", action="store_true",
+                   help="stream the iteration table during the solve")
     p.add_argument("--strategy", choices=("full", "reduced", "banded"))
     p.add_argument("--factor-dtype", choices=("float64", "float32"))
     p.set_defaults(fn=cmd_solve)

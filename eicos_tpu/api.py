@@ -137,6 +137,25 @@ class Solver:
             print_summary(self.structure, self._solution)
         return ExitCode(int(self._solution.exit_code))
 
+    def solve_live(self, seg: int = 1, file=None) -> ExitCode:
+        """``solve`` with the iteration table streamed DURING the solve
+        (the reference prints inside updateStatistics,
+        /root/reference/src/eicos.cpp:733-753).  Works on every backend
+        including the axon TPU tunnel where ``Settings(verbose_live)``'s
+        jax.debug.callback is unsupported: the loop dispatches in
+        ``seg``-iteration segments (solver.solve_live).  Result is
+        bit-identical to ``solve()``."""
+        from .solver import solve_live
+        from .utils.printing import print_summary
+
+        if getattr(self, "_dev", None) is None:
+            self._dev = jax.device_put(self._data)
+        sol = solve_live(self.structure, self._dev, self.settings,
+                         seg=seg, file=file)
+        self._solution = jax.device_get(sol)
+        print_summary(self.structure, self._solution, file=file)
+        return ExitCode(int(self._solution.exit_code))
+
     def solution(self) -> np.ndarray:
         """Primal solution x (reference: solution(), src/eicos.cpp:251-254)."""
         return np.asarray(self._solution.x)

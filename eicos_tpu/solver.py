@@ -180,15 +180,15 @@ def _is_better(i: Iterate, o: Iterate):
     return jnp.where(infeas_case, sub, regular)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def solve(structure: ProblemStructure, data: ProblemData,
-          settings: Settings = Settings()) -> Solution:
-    """Solve one SOCP. jit-compiled per (structure, settings); re-solving
-    with new values (the reference's updateData fast path,
-    /root/reference/src/eicos.cpp:2032-2082) reuses the compiled executable
-    — equilibration and KKT assembly are inside the trace, so the "fast
-    update" is automatic.  vmap over ``data`` solves a batch.
-    """
+def _solve_pieces(structure: ProblemStructure, data: ProblemData,
+                  settings: Settings, need_init: bool = True):
+    """Shared trace of the solver: returns ``(state0, body, finish)``.
+
+    ``solve`` composes them as one while_loop; the segmented live-verbose
+    driver (``solve_live``) dispatches ``body`` in bounded chunks instead,
+    carrying the pytree ``LoopState`` across host round trips.  With
+    ``need_init=False`` the init factorization + 2-column init solve are
+    skipped (resume/finish paths take the carry as input)."""
     st = structure
     n, p, m = st.n, st.p, st.m
     cone = st.cone
@@ -205,63 +205,66 @@ def solve(structure: ProblemStructure, data: ProblemData,
     resy0 = jnp.maximum(1.0, _norm(b))
     resz0 = jnp.maximum(1.0, _norm(h))
 
-    # ---- init: factor with identity scalings, solve the two init systems
-    # (:855-993)
     ctx = kkt.make_context(st, G, A, settings)
-    solve0 = kkt.factor(st, ctx, None, settings)
-
-    rhs_init = jnp.stack([
-        jnp.concatenate([jnp.zeros((n,), f64), b, h]),
-        jnp.concatenate([-c, jnp.zeros((p + m,), f64)]),
-    ])
-    r12 = kkt.solve_refined(st, ctx, solve0, None, rhs_init, settings)
-    x_init = r12.dx[0]
-    s_init = cones.bring_to_cone(cone, -r12.dz[0], settings.gamma)
-    y_init = r12.dy[1]
-    z_init = cones.bring_to_cone(cone, r12.dz[1], settings.gamma)
-
-    rhs1 = jnp.concatenate([-c, b, h])  # (:980)
-
     zero = jnp.asarray(0.0, f64)
     nan = jnp.asarray(jnp.nan, f64)
-    it0 = Iterate(
-        x=x_init, y=y_init, z=z_init, s=s_init,
-        kap=jnp.asarray(1.0, f64), tau=jnp.asarray(1.0, f64),
-        cx=zero, by=zero, hz=zero,
-        pcost=nan, dcost=nan, gap=nan, relgap=nan,
-        has_relgap=jnp.asarray(False),
-        pres=nan, dres=nan,
-        pinfres=nan, has_pinfres=jnp.asarray(False),
-        dinfres=nan, has_dinfres=jnp.asarray(False),
-        mu=nan, kapovert=nan, sigma=zero, step=zero, step_aff=zero,
-        iter=jnp.asarray(0, jnp.int32),
-        nitref1=r12.nitref[0], nitref2=r12.nitref[1],
-        nitref3=jnp.asarray(0, jnp.int32),
-    )
 
-    nh = settings.iter_max + 1
-    hist0 = History(
-        pcost=jnp.full((nh,), jnp.nan, f64),
-        dcost=jnp.full((nh,), jnp.nan, f64),
-        gap=jnp.full((nh,), jnp.nan, f64),
-        pres=jnp.full((nh,), jnp.nan, f64),
-        dres=jnp.full((nh,), jnp.nan, f64),
-        kapovert=jnp.full((nh,), jnp.nan, f64),
-        mu=jnp.full((nh,), jnp.nan, f64),
-        step=jnp.full((nh,), jnp.nan, f64),
-        sigma=jnp.full((nh,), jnp.nan, f64),
-        nitref1=jnp.zeros((nh,), jnp.int32),
-        nitref2=jnp.zeros((nh,), jnp.int32),
-        nitref3=jnp.zeros((nh,), jnp.int32),
-    )
-    state0 = LoopState(
-        it=it0, best=it0, rhs1=rhs1,
-        pres_prev=jnp.asarray(jnp.finfo(f64).max, f64),
-        iter=jnp.asarray(0, jnp.int32),
-        code=jnp.asarray(int(ExitCode.FATAL), jnp.int32),
-        done=jnp.asarray(False),
-        hist=hist0,
-    )
+    state0 = None
+    if need_init:
+        # ---- init: factor with identity scalings, solve the two init
+        # systems (:855-993)
+        solve0 = kkt.factor(st, ctx, None, settings)
+
+        rhs_init = jnp.stack([
+            jnp.concatenate([jnp.zeros((n,), f64), b, h]),
+            jnp.concatenate([-c, jnp.zeros((p + m,), f64)]),
+        ])
+        r12 = kkt.solve_refined(st, ctx, solve0, None, rhs_init, settings)
+        x_init = r12.dx[0]
+        s_init = cones.bring_to_cone(cone, -r12.dz[0], settings.gamma)
+        y_init = r12.dy[1]
+        z_init = cones.bring_to_cone(cone, r12.dz[1], settings.gamma)
+
+        rhs1 = jnp.concatenate([-c, b, h])  # (:980)
+
+        it0 = Iterate(
+            x=x_init, y=y_init, z=z_init, s=s_init,
+            kap=jnp.asarray(1.0, f64), tau=jnp.asarray(1.0, f64),
+            cx=zero, by=zero, hz=zero,
+            pcost=nan, dcost=nan, gap=nan, relgap=nan,
+            has_relgap=jnp.asarray(False),
+            pres=nan, dres=nan,
+            pinfres=nan, has_pinfres=jnp.asarray(False),
+            dinfres=nan, has_dinfres=jnp.asarray(False),
+            mu=nan, kapovert=nan, sigma=zero, step=zero, step_aff=zero,
+            iter=jnp.asarray(0, jnp.int32),
+            nitref1=r12.nitref[0], nitref2=r12.nitref[1],
+            nitref3=jnp.asarray(0, jnp.int32),
+        )
+
+        nh = settings.iter_max + 1
+        hist0 = History(
+            pcost=jnp.full((nh,), jnp.nan, f64),
+            dcost=jnp.full((nh,), jnp.nan, f64),
+            gap=jnp.full((nh,), jnp.nan, f64),
+            pres=jnp.full((nh,), jnp.nan, f64),
+            dres=jnp.full((nh,), jnp.nan, f64),
+            kapovert=jnp.full((nh,), jnp.nan, f64),
+            mu=jnp.full((nh,), jnp.nan, f64),
+            step=jnp.full((nh,), jnp.nan, f64),
+            sigma=jnp.full((nh,), jnp.nan, f64),
+            nitref1=jnp.zeros((nh,), jnp.int32),
+            nitref2=jnp.zeros((nh,), jnp.int32),
+            nitref3=jnp.zeros((nh,), jnp.int32),
+        )
+        state0 = LoopState(
+            it=it0, best=it0, rhs1=rhs1,
+            pres_prev=jnp.asarray(jnp.finfo(f64).max, f64),
+            iter=jnp.asarray(0, jnp.int32),
+            code=jnp.asarray(int(ExitCode.FATAL), jnp.int32),
+            done=jnp.asarray(False),
+            hist=hist0,
+        )
 
     check_full = partial(_check_exit, feastol=settings.feastol,
                          abstol=settings.abstol, reltol=settings.reltol,
@@ -516,7 +519,23 @@ def solve(structure: ProblemStructure, data: ProblemData,
                                code=code, done=jnp.asarray(True), hist=hist)
         return _tree_where(exit_now, exit_state, cont)
 
-    final = lax.while_loop(lambda s: ~s.done, body, state0)
+    def finish(final: LoopState) -> Solution:
+        return _finish_solution(st, settings, eq, final,
+                                (G, A, c, h, b),
+                                (resx0, resy0, resz0),
+                                (check_full, check_red), zero, nan)
+
+    return state0, body, finish
+
+
+def _finish_solution(st, settings, eq, final, gacbh, res0s, checks,
+                     zero, nan) -> Solution:
+    """Exit-time certificate recheck + backscale (the tail of solve)."""
+    G, A, c, h, b = gacbh
+    resx0, resy0, resz0 = res0s
+    check_full, check_red = checks
+    n, p, m = st.n, st.p, st.m
+    f64 = c.dtype
 
     # ---- exit-time certificate re-evaluation in exact f64 ----
     # Under the double-single TPU kernels the in-loop residual GEMVs and
@@ -601,3 +620,95 @@ def solve(structure: ProblemStructure, data: ProblemData,
     dinf = (code == _DINF) | (code == _DINF + _INACC)
     return Solution(exit_code=code, x=x, y=y, z=z, s=s, info=w,
                     pinf=pinf, dinf=dinf, history=final.hist)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def solve(structure: ProblemStructure, data: ProblemData,
+          settings: Settings = Settings()) -> Solution:
+    """Solve one SOCP. jit-compiled per (structure, settings); re-solving
+    with new values (the reference's updateData fast path,
+    /root/reference/src/eicos.cpp:2032-2082) reuses the compiled executable
+    — equilibration and KKT assembly are inside the trace, so the "fast
+    update" is automatic.  vmap over ``data`` solves a batch.
+    """
+    state0, body, finish = _solve_pieces(structure, data, settings)
+    final = lax.while_loop(lambda s: ~s.done, body, state0)
+    return finish(final)
+
+
+# --------------- segmented dispatch (live verbose on any backend) -------
+# jax.debug.callback is not supported through the axon TPU tunnel, so
+# Settings(verbose_live=True) cannot stream rows on the deployment
+# target.  These entry points run the SAME compiled iteration body in
+# seg-iteration chunks, carrying LoopState across host round trips —
+# the host prints the History rows that became final between
+# dispatches (the reference prints inside updateStatistics,
+# /root/reference/src/eicos.cpp:733-753).  Setup (equilibration, KKT
+# context) is re-traced into every segment executable; its extra device
+# cost per dispatch is one equilibrate + context rebuild, acceptable
+# for a verbose debugging mode.
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _solve_seg_start(structure: ProblemStructure, data: ProblemData,
+                     settings: Settings, seg: int) -> LoopState:
+    state0, body, _ = _solve_pieces(structure, data, settings)
+    return lax.while_loop(lambda s: (~s.done) & (s.iter < seg),
+                          body, state0)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _solve_seg_resume(structure: ProblemStructure, data: ProblemData,
+                      settings: Settings, carry: LoopState,
+                      seg: int) -> LoopState:
+    _, body, _ = _solve_pieces(structure, data, settings,
+                               need_init=False)
+    lim = carry.iter + seg
+    return lax.while_loop(lambda s: (~s.done) & (s.iter < lim),
+                          body, carry)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _solve_seg_finish(structure: ProblemStructure, data: ProblemData,
+                      settings: Settings, carry: LoopState) -> Solution:
+    _, _, finish = _solve_pieces(structure, data, settings,
+                                 need_init=False)
+    return finish(carry)
+
+
+def solve_live(structure: ProblemStructure, data: ProblemData,
+               settings: Settings = Settings(), seg: int = 1,
+               file=None) -> Solution:
+    """``solve`` with the reference-style iteration table streamed DURING
+    the solve, on every backend including the axon TPU tunnel: the
+    while_loop is dispatched in ``seg``-iteration segments and the rows
+    that became final print between dispatches.  The iteration body is
+    the identical trace, so the returned Solution is bit-identical to
+    ``solve``'s; the cost is one host round trip (+ setup replay) per
+    segment."""
+    import sys
+
+    from .utils.printing import _HEADER, format_iteration_row
+
+    out = file if file is not None else sys.stdout
+    print(_HEADER, file=out, flush=True)
+    carry = _solve_seg_start(structure, data, settings, seg)
+    printed = 0
+    while True:
+        done = bool(jax.device_get(carry.done))
+        itv = int(jax.device_get(carry.iter))
+        last = itv if done else itv - 1
+        if last >= printed:
+            h = jax.device_get(carry.hist)
+            for i in range(printed, last + 1):
+                print(format_iteration_row(
+                    i, float(h.pcost[i]), float(h.dcost[i]),
+                    float(h.gap[i]), float(h.pres[i]), float(h.dres[i]),
+                    float(h.kapovert[i]), float(h.mu[i]),
+                    float(h.step[i]), float(h.sigma[i]),
+                    int(h.nitref1[i]), int(h.nitref2[i]),
+                    int(h.nitref3[i])), file=out, flush=True)
+            printed = last + 1
+        if done:
+            break
+        carry = _solve_seg_resume(structure, data, settings, carry, seg)
+    return _solve_seg_finish(structure, data, settings, carry)

@@ -57,22 +57,29 @@ def print_iteration_table(solution) -> None:
             int(h.nitref1[i]), int(h.nitref2[i]), int(h.nitref3[i])))
 
 
-def print_summary(structure, solution) -> None:
+def print_summary(structure, solution, file=None) -> None:
+    import sys
+
+    out = file if file is not None else sys.stdout
     info = solution.info
     code = ExitCode(int(solution.exit_code))
-    print("- - - - - - - - - - - - - - -")
-    print("|      Problem summary      |")
-    print("- - - - - - - - - - - - - - -")
-    print(f"    Primal variables:  {structure.n}")
-    print(f"Equality constraints:  {structure.p}")
-    print(f"     Conic variables:  {structure.m}")
-    print(f"  Size of LP cone:     {structure.l}")
-    print(f"  Number of SOCs:      {structure.n_sc}")
-    print("- - - - - - - - - - - - - - -")
-    print(f"exit:   {code.name} ({int(code)})")
-    print(f"iters:  {int(info.iter)}")
-    print(f"pcost:  {float(info.pcost):+.9e}")
-    print(f"dcost:  {float(info.dcost):+.9e}")
-    print(f"gap:    {float(info.gap):.3e}   pres: {float(info.pres):.3e}"
-          f"   dres: {float(info.dres):.3e}")
-    print(f"k/t:    {float(info.kapovert):.3e}   mu: {float(info.mu):.3e}")
+
+    def p(line=""):
+        print(line, file=out)
+
+    p("- - - - - - - - - - - - - - -")
+    p("|      Problem summary      |")
+    p("- - - - - - - - - - - - - - -")
+    p(f"    Primal variables:  {structure.n}")
+    p(f"Equality constraints:  {structure.p}")
+    p(f"     Conic variables:  {structure.m}")
+    p(f"  Size of LP cone:     {structure.l}")
+    p(f"  Number of SOCs:      {structure.n_sc}")
+    p("- - - - - - - - - - - - - - -")
+    p(f"exit:   {code.name} ({int(code)})")
+    p(f"iters:  {int(info.iter)}")
+    p(f"pcost:  {float(info.pcost):+.9e}")
+    p(f"dcost:  {float(info.dcost):+.9e}")
+    p(f"gap:    {float(info.gap):.3e}   pres: {float(info.pres):.3e}"
+      f"   dres: {float(info.dres):.3e}")
+    p(f"k/t:    {float(info.kapovert):.3e}   mu: {float(info.mu):.3e}")

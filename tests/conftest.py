@@ -34,3 +34,19 @@ if not os.environ.get("EICOS_TPU_NO_COMPILE_CACHE"):
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Drop jit caches between test modules.
+
+    The full suite deterministically segfaults INSIDE XLA:CPU (4/4 runs,
+    always at the first test of the 16th module, both in
+    backend_compile_and_load on a cold disk cache and in
+    deserialize_executable on a warm one) once ~190 tests' executables
+    are live in one process; any half of the suite passes.  Bounding the
+    number of live executables per process avoids the crash; cross-module
+    executable reuse is rare (different problem structures), and the
+    persistent disk cache makes the re-JITs cheap."""
+    yield
+    jax.clear_caches()

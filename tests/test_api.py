@@ -74,6 +74,43 @@ def test_verbose_live_streams(capsys):
     assert out.count("\n") >= 3      # several live rows
 
 
+def test_solve_live_segmented_matches_solve():
+    """solve_live: segmented dispatch streams the iteration table between
+    host round trips (live verbose that works through the axon TPU
+    tunnel, where jax.debug.callback does not) and returns a Solution
+    bit-identical to solve() — the iteration body is the same trace."""
+    import io
+
+    from eicos_tpu import corpus
+    from eicos_tpu.solver import solve, solve_live
+
+    st, prob, _ = corpus.load("lp_afiro")
+    st = st.with_gsplit(prob.G, prob.A)
+    settings = Settings(kkt_strategy="reduced")
+    s1 = solve(st, prob, settings)
+    buf = io.StringIO()
+    s2 = solve_live(st, prob, settings, seg=3, file=buf)
+    assert int(s1.exit_code) == int(s2.exit_code)
+    assert np.array_equal(np.asarray(s1.x), np.asarray(s2.x))
+    assert np.array_equal(np.asarray(s1.z), np.asarray(s2.z))
+    lines = buf.getvalue().strip().splitlines()
+    # header + one row per iteration 0..iter
+    assert len(lines) == int(s1.info.iter) + 2
+    assert lines[0].startswith("It")
+    assert lines[1].startswith(" 0")
+
+
+def test_solver_solve_live_method(capsys):
+    G = np.vstack([np.eye(2), -np.eye(2)])
+    s = Solver(G, None, np.array([-1.0, -1.0]),
+               np.array([1.0, 1.0, 0.0, 0.0]), None)
+    code = s.solve_live(seg=2)
+    assert code == ExitCode.OPTIMAL
+    out = capsys.readouterr().out
+    assert "pcost" in out and "OPTIMAL" in out
+    np.testing.assert_allclose(s.solution(), [1.0, 1.0], atol=1e-7)
+
+
 def test_settings_are_static():
     """Different Settings recompile; equal Settings hit the jit cache."""
     assert hash(Settings()) == hash(Settings())

@@ -17,6 +17,16 @@ def test_cli_solve(tmp_path, capsys):
     assert rc == 0 and "OPTIMAL" in out and "pcost" in out
 
 
+def test_cli_solve_live(tmp_path, capsys):
+    st, prob, _ = corpus.load("feas")
+    path = str(tmp_path / "feas.npz")
+    eicos_tpu.save_problem(path, st, prob)
+    rc = main(["solve", path, "--live"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "OPTIMAL" in out
+    assert out.index("It ") < out.index("pcost")   # table streamed first
+
+
 def test_cli_corpus(capsys):
     rc = main(["corpus", "--problems", "feas,infeasible1"])
     out = capsys.readouterr().out
