@@ -21,6 +21,13 @@ codes, tolerances, test corpus) of the EiCOS reference solver
 
 float64 is required for the reference 1e-8 tolerances; the package enables
 JAX x64 mode on import (opt out with EICOS_TPU_NO_X64=1).
+
+Import side effects (both opt-out, both skipped if the user already set
+the corresponding config/env): ``jax_enable_x64`` is turned on
+(EICOS_TPU_NO_X64=1 to skip), and a persistent compilation cache is
+configured at ~/.cache/eicos_tpu_jax with a 0.5 s min-compile-time
+threshold (EICOS_TPU_NO_CACHE=1 to skip) — this changes caching behavior
+for other JAX code in the same process.
 """
 
 import os as _os

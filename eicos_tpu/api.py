@@ -38,7 +38,17 @@ class Solver:
     DINF decided by f64 last-ulp rounding at tau -> 0) exit NUMERICS
     under "banded"+ds where the exact-f64 dense elimination certifies
     DINF; the fallback restores the reference's exit code without
-    chasing kernel rounding."""
+    chasing kernel rounding.
+
+    NOTE on marginal lanes: several f64-path micro-optimizations (e.g.
+    the width-grouped spmv gathers, ops/spmv.py) legally reassociate
+    reduction trees at the ~1-ulp level, which can flip a knife-edge
+    instance between OPTIMAL and a reduced-accuracy tier.  The exit-time
+    exact-f64 certificate recheck absorbs most flips; configuring
+    ``rescue=Settings(kkt_strategy="reduced")`` (or "banded" from a
+    dense primary) absorbs the rest.  Plain ``rescue=None`` solves can
+    land a marginal instance one tier lower than a differently-rounded
+    build — that is inherent to 1e-8 targets at f64, not a bug."""
 
     def __init__(self, G, A, c, h, b, soc_dims=(),
                  settings: Settings = Settings(),

@@ -1640,7 +1640,17 @@ def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
                            interpret: bool = False, i8: bool = False):
     """Lane-tiled bwb=1 factor emitting the prechunked factor directly:
     (L, nb, B, B) float64 inputs -> BandFacPre with a leading lane axis.
-    Bit-identical to prechunk_band_fac(band_factor_ds(...), i8=i8)."""
+
+    bf16 scheme: bit-identical to
+    prechunk_band_fac(band_factor_ds(...)).  i8 scheme: NOT bit-identical
+    to the unbatched prechunk path — the tiled kernel feeds the next
+    step's Ksub @ X product from X's 7-bit int8 chunks (the carried
+    scratch), rounding L at the 7-bit grid where the unbatched path
+    multiplies the pair-exact X and only chunks at storage time.  Both
+    are within the scheme's ~2^-49 envelope and the f64 refinement
+    absorbs the difference; the custom_vmap consistency divergence is
+    accepted and pinned by tests/test_pallas_ds.py::
+    test_i8_batched_vs_unbatched_divergence."""
     L, nb = Kdiag.shape[0], Kdiag.shape[1]
     assert Kdiag.shape == (L, nb, B, B) and Ksub.shape == (L, nb, B, B)
     assert Kdiag.dtype == jnp.float64

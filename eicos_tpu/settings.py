@@ -81,3 +81,20 @@ class Settings:
     # header note).  Affects rounding at ~2^-49: lane-level exit flips
     # are absorbed by the exit-time f64 recheck + rescue protocol.
     chunk_store: str = "bf16"
+
+    def __post_init__(self):
+        # Fail loudly on misconfiguration: downstream dispatch compares
+        # string equality (kkt.py checks chunk_store == "i8"), so a typo
+        # would otherwise silently select a different code path.
+        _check = {
+            "kkt_strategy": ("full", "reduced", "normal", "banded"),
+            "factor_dtype": ("float64", "float32"),
+            "pallas_leaf": ("auto", "on", "off"),
+            "band_gemm": ("float64", "float32"),
+            "chunk_store": ("bf16", "i8"),
+        }
+        for field, allowed in _check.items():
+            value = getattr(self, field)
+            if value not in allowed:
+                raise ValueError(
+                    f"Settings.{field}={value!r} is not one of {allowed}")

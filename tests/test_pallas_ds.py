@@ -1001,3 +1001,67 @@ def test_i8_band_solve_batched_matches_per_lane():
     res8 = np.abs(np.einsum("lij,lkj->lki", Kfull, got_b) - rn).max()
     res16 = np.abs(np.einsum("lij,lkj->lki", Kfull, got16) - rn).max()
     assert res8 < 10 * max(res16, 1e-12), (res8, res16)
+
+
+def test_i8_batched_vs_unbatched_divergence():
+    """ACCEPTED custom_vmap divergence of the i8 scheme (documented in
+    _band_factor_pre_batch's docstring): the lane-tiled chunk-emitting
+    factor feeds the next block row's Ksub @ X product from X's 7-bit
+    int8 chunks (the scratch carry) via the 7-bit-grid product, while
+    the unbatched path (prechunk_band_fac of _band_factor_ds_impl)
+    factors with the 8-bit-scheme pair products and only chunks at
+    storage time.  The per-product difference is ~2^-49 of operand
+    scale, but elimination growth amplifies the FORWARD gap between the
+    two factors on ill-conditioned blocks (measured ~3e-3 relative by
+    block row 2 on the spread inputs here) — so beyond block row 0 the
+    factors are NOT bit-identical and no tight forward envelope holds.
+    The meaningful invariant, pinned here: both are equally good
+    BACKWARD solutions — their solve residuals against the exact f64
+    operator agree to a small factor (refinement absorbs either).  The
+    bf16 scheme, by contrast, is bit-identical (pinned elsewhere)."""
+    from eicos_tpu.ops.pallas_band_ds import (
+        _band_factor_ds_impl, _band_factor_pre_batch,
+        _band_solve_pre_batch, prechunk_band_fac, KP, B)
+
+    L, nb = 2, 3
+    Kd, Ks = _band_inputs_i8(L, nb)
+    pre_b = _band_factor_pre_batch(Kd, Ks, T=2, interpret=True, i8=True)
+    pre_u = jax.vmap(lambda a, b: prechunk_band_fac(
+        _band_factor_ds_impl(a, b, interpret=True), i8=True))(Kd, Ks)
+
+    def recon(chunks, scale):
+        v = np.zeros(np.asarray(chunks[0]).shape, np.float64)
+        for t, c in enumerate(chunks):
+            v += np.asarray(c, np.float64) * 2.0 ** (-7 * (t + 1))
+        # scale row 0 holds the per-ROW scales (axis -1 chunking)
+        s = np.asarray(scale, np.float64)[..., 0, :][..., :, None]
+        return v * s
+
+    lb = recon(pre_b.lc1, pre_b.ls1)
+    lu = recon(pre_u.lc1, pre_u.ls1)
+    # block row 0 has no Ksub @ X product -> bit-identical
+    np.testing.assert_array_equal(lb[:, 0], lu[:, 0])
+    # ... and the divergence beyond it is real (this is the documented
+    # accepted behavior, not an accident a refactor silently removed)
+    assert np.abs(lb[:, 1:] - lu[:, 1:]).max() > 0.0
+
+    # backward-error equivalence: solves through both factors leave the
+    # same residual class against the exact operator
+    rng = np.random.default_rng(11)
+    rhs = jnp.asarray(rng.standard_normal((L, KP, nb * B)))
+    zb = np.asarray(_band_solve_pre_batch(pre_b, rhs, T=2,
+                                          interpret=True))
+    zu = np.asarray(_band_solve_pre_batch(pre_u, rhs, T=2,
+                                          interpret=True))
+    Kfull = np.zeros((L, nb * B, nb * B))
+    Kdn, Ksn = np.asarray(Kd), np.asarray(Ks)
+    for k in range(nb):
+        Kfull[:, k * B:(k + 1) * B, k * B:(k + 1) * B] = Kdn[:, k]
+        if k:
+            Kfull[:, k * B:(k + 1) * B, (k - 1) * B:k * B] = Ksn[:, k]
+            Kfull[:, (k - 1) * B:k * B, k * B:(k + 1) * B] = (
+                Ksn[:, k].transpose(0, 2, 1))
+    rn = np.asarray(rhs)
+    rb = np.abs(np.einsum("lij,lkj->lki", Kfull, zb) - rn).max()
+    ru = np.abs(np.einsum("lij,lkj->lki", Kfull, zu) - rn).max()
+    assert rb < 10 * max(ru, 1e-12), (rb, ru)
