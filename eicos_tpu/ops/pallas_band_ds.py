@@ -534,138 +534,199 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
     ~1e7 elimination growth are astronomically larger than the final
     inverse — the 2^-48 double-single error is relative to those LARGE
     intermediates, so the cancellation destroys the small true entries
-    that sequential substitution computes stably.  A (P, P)-shaped
-    substitution saves nothing either: 16-lane arrays pad to the full
-    128-lane vreg, costing the same as the (P, B) update.
+    that sequential substitution computes stably.
 
-    FUSED [M | X] DATAFLOW (round 3): the trailing matrix M and the
-    inverse accumulation X live side by side in one (T, B, 2B) slab, the
-    panel inner loop updates one (T, P, 2B) slice with ONE outer-sub per
-    step (was two), and each panel's two trailing MXU products collapse
-    into one (T, P, 2B)-operand product.  Every reduction and every ds
-    op is column-independent, so widening the column axis changes
-    scheduling only — output is BIT-IDENTICAL to the unfused form
-    (pinned by tests/test_pallas_ds.py against the plain rank-1 loop);
-    the op-issue count of the issue-bound inner loop roughly halves."""
+    COMPACTED RIGHT-LOOKING PANEL SCHEDULE (round 4; replaces the
+    round-3 fused (T, B, 2B) slab with BIT-IDENTICAL output): two fully
+    deferred variants were measured on hardware first and REJECTED —
+    (a) pushing the panel's M rows through an exact small-K chunk GEMM
+    (factor 38 -> 30.4 ms/iter but 4/128 bench lanes lost OPTIMAL: the
+    GEMM's scale-relative ~2^-56-of-rowmax truncation is far coarser
+    than the sequential loop's elementwise ~2^-48 for entries below the
+    row maxima, and the error feeds later pivots), and (b) deferring
+    only the X columns [0, q) (M stays sequential; still 124/128 with
+    elevated refinement floors and nitref hitting the cap: X feeds the
+    next band block's L = Ksub @ X^T, so its truncation also lands in
+    future pivots; a sqrt|d|-equilibrated form of that GEMM overflowed
+    f32 under the 1e-30 pivot clamp and was catastrophically worse,
+    44/128).  What remains here keeps the round-3 ARITHMETIC op-for-op
+    and compacts the LAYOUT only — every change below is a pure
+    reindexing of column-independent ops, so the output is bit-identical
+    to the round-3 slab (pinned by tests against the plain rank-1 loop):
+
+    * master slab (T, B, B) instead of (T, B, 2B): a row of panel p
+      stores [X columns 0..t0 | M columns t0..B] once eliminated, and
+      [X columns 0..q | M columns q..B] while pending — M columns below
+      q and X columns above t0 are structurally dead/zero and are
+      simply not stored;
+    * the panel inner loop runs on a (T, P, (B - q) + t0) =
+      (T, P, B + P) slab [M q..B | X 0..t0] — same masked reductions,
+      same _ds_outer_sub, same rf = [l*d | wj] row factor;
+    * the multiplier-column extraction reads l's (T, 1, P) panel slice
+      broadcast over (T, P, P) instead of the full-width slab (the
+      selected values are identical);
+    * the trailing chunk GEMM drops its structurally-zero half: the b
+      operand [W e^-1 (t0 cols) | L e d e^-2 (B - t0 cols)] is exactly
+      B wide (was 2B), and per-column chunk scales/dots/folds make each
+      surviving column bit-identical to the wide form."""
     T = Mh.shape[0]
     NP = B // P_LEAF
     P = P_LEAF
-    colv = lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
-    col2 = lax.broadcasted_iota(jnp.int32, (1, 1, 2 * B), 2)
-    prow = lax.broadcasted_iota(jnp.int32, (1, P, B), 1)
-    pcol = lax.broadcasted_iota(jnp.int32, (1, P, B), 2)
-    prow2 = lax.broadcasted_iota(jnp.int32, (1, P, 2 * B), 1)
-    pcol2 = lax.broadcasted_iota(jnp.int32, (1, P, 2 * B), 2)
-    eye_bb = (lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
-              == lax.broadcasted_iota(jnp.int32, (1, B, B), 2))
-    # X starts as the identity in the right half of the fused slab
-    eye2 = (lax.broadcasted_iota(jnp.int32, (1, B, 2 * B), 2) - B
-            == lax.broadcasted_iota(jnp.int32, (1, B, 2 * B), 1))
     tiny = jnp.float32(1e-30)
+    colv = lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
+    eyePP = (lax.broadcasted_iota(jnp.int32, (1, P, P), 1)
+             == lax.broadcasted_iota(jnp.int32, (1, P, P), 2))
+    # final output mask: row i of panel p keeps columns < (p+1)*P
+    keepX = ((lax.broadcasted_iota(jnp.int32, (1, B, B), 2) // P)
+             <= (lax.broadcasted_iota(jnp.int32, (1, B, B), 1) // P))
 
-    MXh = jnp.concatenate([Mh, jnp.zeros((T, B, B), jnp.float32)], axis=2)
-    MXh = jnp.where(eye2, 1.0, MXh)
-    MXl = jnp.concatenate([Ml, jnp.zeros((T, B, B), jnp.float32)], axis=2)
+    C = B + P                       # live M columns + live X columns
+    lrow = lax.broadcasted_iota(jnp.int32, (1, P, C), 1)
+    lcol_r = lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+
+    Uh, Ul = Mh, Ml
     dvh = jnp.zeros((T, 1, B), jnp.float32)
     dvl = jnp.zeros((T, 1, B), jnp.float32)
 
     for p in range(NP):
         q = p * P
-        psel = (pcol - prow) == q      # [., r, c] : c == q + r
-        # the in-panel column q + r always lands in the M half
-        # (q + r <= B - 1), so the 2B-iota psel needs no half guard
-        psel2 = (pcol2 - prow2) == q
+        t0 = q + P
+        mw = B - q                  # live M width; X width is t0
 
-        def body(jj, carry, q=q, psel2=psel2):
-            Qh, Ql, Lth, Ltl, dvh, dvl = carry
-            rmask = prow2 == jj
-            cmask2 = col2 == (q + jj)
-            cmask = colv == (q + jj)
-            # keep: strictly-later columns of the M half only — the X
-            # half of the l row must stay zero so the fused outer-sub's
-            # X-half row factor is wj alone
-            keep = (col2 > (q + jj)) & (col2 < B)
-            cwh = jnp.sum(jnp.where(rmask, Qh, 0.0), axis=1,
-                          keepdims=True)                  # (T, 1, 2B)
-            cwl = jnp.sum(jnp.where(rmask, Ql, 0.0), axis=1,
+        # ---- phase A: sequential panel elimination, (T, P, B + P) ----
+        # slab layout [M q..B | X 0..q | I_P]; the strip I_P is the
+        # panel's own X diagonal block
+        pieces_h = [Uh[:, q:t0, q:]]
+        pieces_l = [Ul[:, q:t0, q:]]
+        if q:
+            pieces_h.append(Uh[:, q:t0, :q])
+            pieces_l.append(Ul[:, q:t0, :q])
+        pieces_h.append(jnp.broadcast_to(eyePP.astype(jnp.float32),
+                                         (T, P, P)))
+        pieces_l.append(jnp.zeros((T, P, P), jnp.float32))
+        Sh = jnp.concatenate(pieces_h, axis=2)
+        Sl = jnp.concatenate(pieces_l, axis=2)
+        z_row = jnp.zeros((T, 1, C), jnp.float32)
+
+        def body(jj, carry, q=q, mw=mw):
+            Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl = carry
+            rmask = lrow == jj
+            cmask = lcol_r == jj
+            keep = (lcol_r > jj) & (lcol_r < mw)
+            cwh = jnp.sum(jnp.where(rmask, Sh, 0.0), axis=1,
+                          keepdims=True)                   # (T, 1, C)
+            cwl = jnp.sum(jnp.where(rmask, Sl, 0.0), axis=1,
                           keepdims=True)
-            djh = jnp.sum(jnp.where(cmask2, cwh, 0.0), axis=2,
-                          keepdims=True)                  # (T, 1, 1)
-            djl = jnp.sum(jnp.where(cmask2, cwl, 0.0), axis=2,
+            djh = jnp.sum(jnp.where(cmask, cwh, 0.0), axis=2,
+                          keepdims=True)                   # (T, 1, 1)
+            djl = jnp.sum(jnp.where(cmask, cwl, 0.0), axis=2,
                           keepdims=True)
             djh = jnp.where(jnp.abs(djh) < tiny,
                             jnp.where(djh < 0, -tiny, tiny), djh)
-            djh_b = jnp.broadcast_to(djh, (T, 1, 2 * B))
-            djl_b = jnp.broadcast_to(djl, (T, 1, 2 * B))
+            djh_b = jnp.broadcast_to(djh, (T, 1, C))
+            djl_b = jnp.broadcast_to(djl, (T, 1, C))
             lh, ll = ds_div(cwh, cwl, djh_b, djl_b)
             lh = jnp.where(keep, lh, 0.0)
             ll = jnp.where(keep, ll, 0.0)
-            lph = jnp.sum(jnp.where(psel2,
-                                    jnp.broadcast_to(lh, (T, P, 2 * B)),
+            # row r's multiplier = l at local column r (symmetry); the
+            # panel slice (T, 1, P) carries every selected value
+            lph = jnp.sum(jnp.where(eyePP,
+                                    jnp.broadcast_to(lh[:, :, :P],
+                                                     (T, P, P)),
                                     0.0), axis=2, keepdims=True)
-            lpl = jnp.sum(jnp.where(psel2,
-                                    jnp.broadcast_to(ll, (T, P, 2 * B)),
+            lpl = jnp.sum(jnp.where(eyePP,
+                                    jnp.broadcast_to(ll[:, :, :P],
+                                                     (T, P, P)),
                                     0.0), axis=2, keepdims=True)
             ldh, ldl = ds_mul(lh, ll, djh_b, djl_b)
-            # fused row factor: [l*d | wj] — the l row's X half is zero,
-            # so selecting the raw row there reproduces the unfused wj
-            # bit for bit
-            xhalf = col2 >= B
+            # fused row factor: [l*d | wj] exactly as the round-3 slab
+            xhalf = lcol_r >= mw
             rfh = jnp.where(xhalf, cwh, ldh)
             rfl = jnp.where(xhalf, cwl, ldl)
-            Qh, Ql = _ds_outer_sub(Qh, Ql, lph, lpl, rfh, rfl)
-            Lth = jnp.where(prow == jj,
-                            jnp.broadcast_to(lh[:, :, :B], (T, P, B)),
+            Sh, Sl = _ds_outer_sub(Sh, Sl, lph, lpl, rfh, rfl)
+            Lth = jnp.where(lrow[:, :, :mw] == jj,
+                            jnp.broadcast_to(lh[:, :, :mw], (T, P, mw)),
                             Lth)
-            Ltl = jnp.where(prow == jj,
-                            jnp.broadcast_to(ll[:, :, :B], (T, P, B)),
+            Ltl = jnp.where(lrow[:, :, :mw] == jj,
+                            jnp.broadcast_to(ll[:, :, :mw], (T, P, mw)),
                             Ltl)
-            dvh = jnp.where(cmask, djh, dvh)
-            dvl = jnp.where(cmask, djl, dvl)
-            return Qh, Ql, Lth, Ltl, dvh, dvl
+            dph = jnp.where(cmask, djh, dph)               # local pivots
+            dpl = jnp.where(cmask, djl, dpl)
+            gmask = colv == (q + jj)
+            dvh = jnp.where(gmask, djh, dvh)
+            dvl = jnp.where(gmask, djl, dvl)
+            return Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl
 
-        z_pb = jnp.zeros((T, P, B), jnp.float32)
-        carry = (MXh[:, q:q + P], MXl[:, q:q + P], z_pb, z_pb, dvh, dvl)
-        (Qh, Ql, Lth, Ltl, dvh, dvl) = _fori32(P, body, carry)
+        z_pm = jnp.zeros((T, P, mw), jnp.float32)
+        (Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl) = _fori32(
+            P, body, (Sh, Sl, z_pm, z_pm, z_row, z_row, dvh, dvl))
 
-        t0 = q + P
-        # zero-width head slices must be omitted, not concatenated:
-        # Mosaic rejects (T, 0, 2B) vector types
-        head_h = [MXh[:, :q]] if q else []
-        head_l = [MXl[:, :q]] if q else []
+        # eliminated panel rows, output layout [X 0..t0 | M t0..B]: the
+        # slab tail [M P..mw | X 0..t0] rotated right by t0 (a lane
+        # rotate — Mosaic rejects sublane concats of pieces with
+        # mismatched lane offsets, so offset slices can't feed the
+        # axis-1 concat below directly)
+        if t0 < B:
+            Uph = jnp.roll(Sh[:, :, P:], t0, axis=2)
+            Upl = jnp.roll(Sl[:, :, P:], t0, axis=2)
+        else:
+            # last panel: the tail is all-X and a width-B roll would be
+            # a zero-width slice; rolling the full C-wide slab by t0
+            # lands the X region at lane offset 0 (mw + t0 = C)
+            Uph = jnp.roll(Sh, t0, axis=2)[:, :, :B]
+            Upl = jnp.roll(Sl, t0, axis=2)[:, :, :B]
+
+        head_h = [Uh[:, :q]] if q else []
+        head_l = [Ul[:, :q]] if q else []
         if t0 >= B:
-            MXh = jnp.concatenate(head_h + [Qh], axis=1)
-            MXl = jnp.concatenate(head_l + [Ql], axis=1)
+            Uh = jnp.concatenate(head_h + [Uph], axis=1)
+            Ul = jnp.concatenate(head_l + [Upl], axis=1)
             break
-        dpch = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvh, (T, P, B)),
+
+        # ---- phase B: trailing update at live width B ----------------
+        # local pivots (T, 1, C) -> per-panel-row (T, P, 1)
+        dpch = jnp.sum(jnp.where(eyePP,
+                                 jnp.broadcast_to(dph[:, :, :P],
+                                                  (T, P, P)),
                                  0.0), axis=2, keepdims=True)
-        dpcl = jnp.sum(jnp.where(psel, jnp.broadcast_to(dvl, (T, P, B)),
+        dpcl = jnp.sum(jnp.where(eyePP,
+                                 jnp.broadcast_to(dpl[:, :, :P],
+                                                  (T, P, P)),
                                  0.0), axis=2, keepdims=True)
         e = _pow2_half(dpch)
         einv = 1.0 / e
         m2h = dpch * einv * einv
         m2l = dpcl * einv * einv
-        Leh, Lel = Lth * e, Ltl * e
-        a, sa = _chunks_scaled(Leh, Lel, axis=1)         # sa: (T, 1, B)
-        saT = jnp.sum(jnp.where(eye_bb, jnp.broadcast_to(sa, (T, B, B)),
-                                0.0), axis=2, keepdims=True)[:, t0:]
-        # fused b operand: [L e d e^-2 | W e^-1] — e^-1 is an exact power
-        # of two, so the X-half plain-f32 products match the unfused
-        # (Wph * einv, Wpl * einv) bit for bit; one chunk decomposition
-        # and ONE trailing MXU product replace two
-        Wph, Wpl = Qh[:, :, B:], Ql[:, :, B:]
-        ldh, ldl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (T, P, B)),
-                          jnp.broadcast_to(m2l, (T, P, B)))
-        b2h = jnp.concatenate([ldh, Wph * einv], axis=2)
-        b2l = jnp.concatenate([ldl, Wpl * einv], axis=2)
-        bUX, sb2 = _chunks_scaled(b2h, b2l, axis=1)      # sb2: (T, 1, 2B)
-        uh, ul = _panel_dots_b(a, bUX, t0, T)
-        sc = saT * sb2
-        MXth, MXtl = ds_add(MXh[:, t0:], MXl[:, t0:], -uh * sc, -ul * sc)
-        MXh = jnp.concatenate(head_h + [Qh, MXth], axis=1)
-        MXl = jnp.concatenate(head_l + [Ql, MXtl], axis=1)
+        Leh, Lel = Lth * e, Ltl * e                        # (T, P, mw)
+        a, sa = _chunks_scaled(Leh, Lel, axis=1)           # sa (T, 1, mw)
+        eye_mw = (lax.broadcasted_iota(jnp.int32, (1, mw, mw), 1)
+                  == lax.broadcasted_iota(jnp.int32, (1, mw, mw), 2))
+        saT = jnp.sum(jnp.where(eye_mw,
+                                jnp.broadcast_to(sa, (T, mw, mw)), 0.0),
+                      axis=2, keepdims=True)[:, P:]
+        # fused b operand [W e^-1 (t0) | L e d e^-2 (B - t0)]: exactly
+        # the live columns of the round-3 2B-wide operand
+        ldh, ldl = ds_mul(Leh, Lel, jnp.broadcast_to(m2h, (T, P, mw)),
+                          jnp.broadcast_to(m2l, (T, P, mw)))
+        b2h = jnp.concatenate([Sh[:, :, mw:] * einv, ldh[:, :, P:]],
+                              axis=2)                      # (T, P, B)
+        b2l = jnp.concatenate([Sl[:, :, mw:] * einv, ldl[:, :, P:]],
+                              axis=2)
+        bc, sb = _chunks_scaled(b2h, b2l, axis=1)          # sb (T, 1, B)
+        uh, ul = _panel_dots_b(a, bc, P, T)                # (T, B-t0, B)
+        sc = saT * sb
+        # below rows' columns [q, t0) flip from dead M values to live X
+        # values here: the prior is structurally zero
+        dead = (colv >= q) & (colv < t0)
+        Ubh = jnp.where(dead, 0.0, Uh[:, t0:])
+        Ubl = jnp.where(dead, 0.0, Ul[:, t0:])
+        Ubh, Ubl = ds_add(Ubh, Ubl, -uh * sc, -ul * sc)
+        Uh = jnp.concatenate(head_h + [Uph, Ubh], axis=1)
+        Ul = jnp.concatenate(head_l + [Upl, Ubl], axis=1)
 
-    return (dvh, dvl), (MXh[:, :, B:], MXl[:, :, B:])
+    Xh = jnp.where(keepX, Uh, 0.0)
+    Xl = jnp.where(keepX, Ul, 0.0)
+    return (dvh, dvl), (Xh, Xl)
 
 
 # ------------------------------------------------- factor kernel (bwb=1)
