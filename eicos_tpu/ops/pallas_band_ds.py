@@ -1111,14 +1111,27 @@ def band_solve_ds(fac, rhs_t, interpret: bool = False):
 
 
 class BandFacPre(NamedTuple):
-    """Prechunked bwb=1 banded factor (see prechunk_band_fac)."""
-    lc1: tuple       # L chunks along axis -1: 7 x (nb, B, B) bf16
+    """Prechunked bwb=1 banded factor (see prechunk_band_fac).
+
+    Each chunk field is ONE array with the nch chunks stacked along the
+    sublane axis: chunk t occupies rows [t*B, (t+1)*B).  Round 4: the
+    chunks used to be tuples of nch separate (nb, B, B) arrays (2*nch*T
+    separate 32 KB block DMAs per solve grid step); stacking was tried
+    as a DMA-coalescing win and measured NEUTRAL on hardware (1693.8 vs
+    1684.6 ms bench wall — within tunnel noise), which pins the solve
+    kernels as in-kernel VPU-issue-bound (rhs-side chunking + TwoSum
+    folds), not DMA-count-bound.  The stacked layout is kept for the
+    operand-count simplification (4 chunk operands instead of 28).  The
+    factor kernel writes the stacked rows directly (no XLA-level
+    stack/copy — that copy is why tuples were chosen originally; only
+    the single-lane prechunk_band_fac fallback pays a concatenate)."""
+    lc1: jax.Array   # L chunks along axis -1: (nb, nch*B, B) bf16/int8
     ls1: jax.Array   # matching scale rows      (nb, 8, B) f32 (row 0)
-    dc1: tuple       # Dinv chunks along axis -1
+    dc1: jax.Array   # Dinv chunks along axis -1
     ds1: jax.Array
-    lc0: tuple       # L chunks along axis -2 (the bwd orientation)
+    lc0: jax.Array   # L chunks along axis -2 (the bwd orientation)
     ls0: jax.Array
-    dc0: tuple       # Dinv chunks along axis -2
+    dc0: jax.Array   # Dinv chunks along axis -2
     ds0: jax.Array
     dh: jax.Array    # pivot rows, as in band_factor_ds
     dl: jax.Array
@@ -1130,11 +1143,11 @@ def prechunk_band_fac(fac, i8: bool = False) -> BandFacPre:
     Runs the exact _chunks_scaled (or, with ``i8``, the int8-storage
     _chunks7) arithmetic (same float ops, so the stored chunks equal
     what the solve kernels would have computed in-VMEM) along both
-    contraction orientations of L and Dinv.  The chunks stay SEPARATE
-    arrays (tuples): a stacked (nb, nch, B, B) layout forced XLA to
-    materialize the stack as three 59 MB layout copies per IPM
-    iteration at 128 lanes (~4.4 ms/iter, traced); the solve kernels
-    take the chunks as individual operands instead."""
+    contraction orientations of L and Dinv.  Chunks are stacked along
+    the sublane axis per orientation (BandFacPre docstring) — the
+    concatenate below costs one layout copy on THIS (single-lane /
+    fallback) path; the lane-tiled batched factor writes the stacked
+    layout directly in-kernel and pays nothing."""
     Lh, Ll, Dih, Dil, dh, dl = fac
     chunker = (lambda xh, xl, axis: _chunks7(xh, xl, axis)) if i8 \
         else _chunks_scaled
@@ -1144,7 +1157,7 @@ def prechunk_band_fac(fac, i8: bool = False) -> BandFacPre:
         row = jnp.squeeze(s, axis=axis)
         srow = jnp.zeros(xh.shape[:-2] + (8, xh.shape[-1]), jnp.float32)
         srow = srow.at[..., 0, :].set(row)
-        return tuple(chunks), srow
+        return jnp.concatenate(chunks, axis=-2), srow
 
     lc1, ls1 = mk(Lh, Ll, -1)
     dc1, ds1 = mk(Dih, Dil, -1)
@@ -1191,16 +1204,13 @@ def _ds_matmul_pre(ah, al, get_chunk, sb_row, transpose_b: bool = False):
 
 def _fwd_kernel_pre(nch, *a):
     """Prechunked forward substitution (see _fwd_kernel).  The factor
-    chunks arrive as ``nch`` separate (1, B, B) refs per operand
-    (stacking them at the XLA level cost a layout copy per call); int8
+    chunks arrive STACKED along the sublane axis, one (1, nch*B, B) ref
+    per operand (one large DMA per grid step — see BandFacPre); int8
     chunks route through the 7-bit-grid product."""
-    lc = a[0:nch]
-    ls_ref = a[nch]
-    dc = a[nch + 1:2 * nch + 1]
-    dsc_ref = a[2 * nch + 1]
-    (dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
-     c_yh, c_yl) = a[2 * nch + 2:]
-    mm = (_ds_matmul_pre_i8 if lc[0].dtype == jnp.int8
+    (lc_ref, ls_ref, dc_ref, dsc_ref,
+     dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
+     c_yh, c_yl) = a
+    mm = (_ds_matmul_pre_i8 if lc_ref.dtype == jnp.int8
           else _ds_matmul_pre)
     k = pl.program_id(0)
 
@@ -1209,11 +1219,13 @@ def _fwd_kernel_pre(nch, *a):
         c_yh[...] = jnp.zeros_like(c_yh)
         c_yl[...] = jnp.zeros_like(c_yl)
 
+    lc = lc_ref[...].reshape(nch * B, B)
+    dc = dc_ref[...].reshape(nch * B, B)
     th, tl = mm(c_yh[...], c_yl[...],
-                lambda t: lc[t][0], ls_ref[0, 0:1, :],
+                lambda t: lc[t * B:(t + 1) * B], ls_ref[0, 0:1, :],
                 transpose_b=True)
     ah, al = ds_add(_rd(xh_ref), _rd(xl_ref), -th, -tl)
-    yh, yl = mm(ah, al, lambda t: dc[t][0],
+    yh, yl = mm(ah, al, lambda t: dc[t * B:(t + 1) * B],
                 dsc_ref[0, 0:1, :], transpose_b=True)
     dh = _rd(dh_ref)[0:1]
     dl = _rd(dl_ref)[0:1]
@@ -1227,15 +1239,11 @@ def _fwd_kernel_pre(nch, *a):
 
 def _bwd_kernel_pre(nch, *a):
     """Prechunked backward substitution (see _bwd_kernel); the scratch
-    carries z_{k+1} and the CHUNKS of L_{k+1}.  Chunks arrive as ``nch``
-    separate refs per operand (see _fwd_kernel_pre)."""
-    lc = a[0:nch]
-    ls_ref = a[nch]
-    dc = a[nch + 1:2 * nch + 1]
-    dsc_ref = a[2 * nch + 1]
-    (wh_ref, wl_ref, zh_ref, zl_ref,
-     c_zh, c_zl, c_lc, c_ls) = a[2 * nch + 2:]
-    mm = (_ds_matmul_pre_i8 if lc[0].dtype == jnp.int8
+    carries z_{k+1} and the stacked CHUNKS of L_{k+1}."""
+    (lc_ref, ls_ref, dc_ref, dsc_ref,
+     wh_ref, wl_ref, zh_ref, zl_ref,
+     c_zh, c_zl, c_lc, c_ls) = a
+    mm = (_ds_matmul_pre_i8 if lc_ref.dtype == jnp.int8
           else _ds_matmul_pre)
     i = pl.program_id(0)
 
@@ -1246,18 +1254,19 @@ def _bwd_kernel_pre(nch, *a):
         c_lc[...] = jnp.zeros_like(c_lc)
         c_ls[...] = jnp.zeros_like(c_ls)
 
+    clc = c_lc[...]
+    dc = dc_ref[...].reshape(nch * B, B)
     th, tl = mm(c_zh[...], c_zl[...],
-                lambda t: c_lc[pl.ds(t * B, B), :],
+                lambda t: clc[t * B:(t + 1) * B],
                 c_ls[0:1, :], transpose_b=False)
     ah, al = ds_add(_rd(wh_ref), _rd(wl_ref), -th, -tl)
-    zh, zl = mm(ah, al, lambda t: dc[t][0],
+    zh, zl = mm(ah, al, lambda t: dc[t * B:(t + 1) * B],
                 dsc_ref[0, 0:1, :], transpose_b=False)
     _wr(zh_ref, zh)
     _wr(zl_ref, zl)
     c_zh[...] = zh
     c_zl[...] = zl
-    for t in range(nch):
-        c_lc[pl.ds(t * B, B), :] = lc[t][0]
+    c_lc[...] = lc_ref[...].reshape(nch * B, B)
     c_ls[...] = ls_ref[0]
 
 
@@ -1266,9 +1275,9 @@ def _band_solve_ds_pre_impl(pre: BandFacPre, rhs_t,
                             interpret: bool = False):
     """band_solve_ds against a prechunked factor — bit-identical output,
     no per-call chunk decomposition of the factor blocks."""
-    nb = pre.lc1[0].shape[0]
-    nch = len(pre.lc1)
-    cdt = pre.lc1[0].dtype
+    nb = pre.lc1.shape[0]
+    nch = pre.lc1.shape[-2] // B
+    cdt = pre.lc1.dtype
     D = nb * B
     assert rhs_t.shape == (KP, D), rhs_t.shape
 
@@ -1279,13 +1288,13 @@ def _band_solve_ds_pre_impl(pre: BandFacPre, rhs_t,
         return v.reshape(KP, nb, B).transpose(1, 0, 2)
 
     xh, xl = tob(xh), tob(xl)
-    spec_bb = pl.BlockSpec((1, B, B), lambda i: (i, 0, 0),
+    spec_cb = pl.BlockSpec((1, nch * B, B), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_x = pl.BlockSpec((1, KP, B), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    rspec_bb = pl.BlockSpec((1, B, B), lambda i: (nb - 1 - i, 0, 0),
+    rspec_cb = pl.BlockSpec((1, nch * B, B), lambda i: (nb - 1 - i, 0, 0),
                             memory_space=pltpu.VMEM)
     rspec_d = pl.BlockSpec((1, 8, B), lambda i: (nb - 1 - i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -1296,25 +1305,24 @@ def _band_solve_ds_pre_impl(pre: BandFacPre, rhs_t,
     with jax.enable_x64(False):
         wh, wl = pl.pallas_call(
             functools.partial(_fwd_kernel_pre, nch), grid=(nb,),
-            in_specs=[spec_bb] * nch + [spec_d]
-            + [spec_bb] * nch + [spec_d] + [spec_d] * 2
-            + [spec_x] * 2,
+            in_specs=[spec_cb, spec_d, spec_cb, spec_d]
+            + [spec_d] * 2 + [spec_x] * 2,
             out_specs=(spec_x, spec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2,
             compiler_params=arb,
             interpret=interpret,
-        )(*pre.lc1, pre.ls1, *pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
+        )(pre.lc1, pre.ls1, pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
         zh, zl = pl.pallas_call(
             functools.partial(_bwd_kernel_pre, nch), grid=(nb,),
-            in_specs=[rspec_bb] * nch + [rspec_d]
-            + [rspec_bb] * nch + [rspec_d] + [rspec_x] * 2,
+            in_specs=[rspec_cb, rspec_d, rspec_cb, rspec_d]
+            + [rspec_x] * 2,
             out_specs=(rspec_x, rspec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((KP, B), jnp.float32)] * 2
             + [pltpu.VMEM((nch * B, B), cdt),
                pltpu.VMEM((8, B), jnp.float32)],
             compiler_params=arb,
             interpret=interpret,
-        )(*pre.lc0, pre.ls0, *pre.dc0, pre.ds0, wh, wl)
+        )(pre.lc0, pre.ls0, pre.dc0, pre.ds0, wh, wl)
     z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
     return z.transpose(1, 0, 2).reshape(KP, D)
 
@@ -1371,13 +1379,10 @@ def _ds_matmul_pre_b(ah, al, get_chunk, sb_row, T: int,
 
 def _make_fwd_kernel_pre_b(T: int, nch: int = _NCHUNK):
     def kern(*a):
-        lc = a[0:nch]                        # (T, 1, B, B) refs
-        ls_ref = a[nch]                      # (T, 1, 8, B)
-        dc = a[nch + 1:2 * nch + 1]
-        dsc_ref = a[2 * nch + 1]
-        (dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
-         c_yh, c_yl) = a[2 * nch + 2:]
-        mm = (_ds_matmul_pre_i8_b if lc[0].dtype == jnp.int8
+        (lc_ref, ls_ref, dc_ref, dsc_ref,     # (T, 1, nch*B, B) chunks
+         dh_ref, dl_ref, xh_ref, xl_ref, wh_ref, wl_ref,
+         c_yh, c_yl) = a
+        mm = (_ds_matmul_pre_i8_b if lc_ref.dtype == jnp.int8
               else _ds_matmul_pre_b)
         k = pl.program_id(1)
 
@@ -1386,16 +1391,18 @@ def _make_fwd_kernel_pre_b(T: int, nch: int = _NCHUNK):
             c_yh[...] = jnp.zeros_like(c_yh)
             c_yl[...] = jnp.zeros_like(c_yl)
 
+        lc = lc_ref[...].reshape(T, nch * B, B)
+        dc = dc_ref[...].reshape(T, nch * B, B)
         th, tl = mm(
             _bT(c_yh[...], T), _bT(c_yl[...], T),
-            lambda t: lc[t][...].reshape(T, B, B),
+            lambda t: lc[:, t * B:(t + 1) * B],
             ls_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
             transpose_b=True)
         xh = xh_ref[...].reshape(T, KP, B)
         xl = xl_ref[...].reshape(T, KP, B)
         ah2, al2 = ds_add(xh, xl, -th, -tl)
         yh, yl = mm(
-            ah2, al2, lambda t: dc[t][...].reshape(T, B, B),
+            ah2, al2, lambda t: dc[:, t * B:(t + 1) * B],
             dsc_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
             transpose_b=True)
         dh = dh_ref[...].reshape(T, 8, B)[:, 0:1, :]     # (T, 1, B)
@@ -1412,13 +1419,10 @@ def _make_fwd_kernel_pre_b(T: int, nch: int = _NCHUNK):
 
 def _make_bwd_kernel_pre_b(T: int, nch: int = _NCHUNK):
     def kern(*a):
-        lc = a[0:nch]
-        ls_ref = a[nch]
-        dc = a[nch + 1:2 * nch + 1]
-        dsc_ref = a[2 * nch + 1]
-        (wh_ref, wl_ref, zh_ref, zl_ref,
-         c_zh, c_zl, c_lc, c_ls) = a[2 * nch + 2:]
-        mm = (_ds_matmul_pre_i8_b if lc[0].dtype == jnp.int8
+        (lc_ref, ls_ref, dc_ref, dsc_ref,
+         wh_ref, wl_ref, zh_ref, zl_ref,
+         c_zh, c_zl, c_lc, c_ls) = a
+        mm = (_ds_matmul_pre_i8_b if lc_ref.dtype == jnp.int8
               else _ds_matmul_pre_b)
         i = pl.program_id(1)
 
@@ -1429,26 +1433,26 @@ def _make_bwd_kernel_pre_b(T: int, nch: int = _NCHUNK):
             c_lc[...] = jnp.zeros_like(c_lc)
             c_ls[...] = jnp.zeros_like(c_ls)
 
-        # chunk-major scratch layout: chunk t of the carried L_{k+1}
-        # occupies rows [t*T*B, (t+1)*T*B), lanes contiguous within
+        # lane-major scratch layout mirrors the stacked input: lane u's
+        # carried L_{k+1} chunks occupy rows [u*nch*B, (u+1)*nch*B)
+        clc = _bT(c_lc[...], T)                 # (T, nch*B, B)
+        dc = dc_ref[...].reshape(T, nch * B, B)
         th, tl = mm(
             _bT(c_zh[...], T), _bT(c_zl[...], T),
-            lambda t: c_lc[pl.ds(t * T * B, T * B), :].reshape(T, B, B),
+            lambda t: clc[:, t * B:(t + 1) * B],
             _bT(c_ls[...], T)[:, 0:1, :], T, transpose_b=False)
         wh = wh_ref[...].reshape(T, KP, B)
         wl = wl_ref[...].reshape(T, KP, B)
         ah2, al2 = ds_add(wh, wl, -th, -tl)
         zh, zl = mm(
-            ah2, al2, lambda t: dc[t][...].reshape(T, B, B),
+            ah2, al2, lambda t: dc[:, t * B:(t + 1) * B],
             dsc_ref[...].reshape(T, 8, B)[:, 0:1, :], T,
             transpose_b=False)
         _wr(zh_ref, zh)
         _wr(zl_ref, zl)
         c_zh[...] = zh.reshape(T * KP, B)
         c_zl[...] = zl.reshape(T * KP, B)
-        for t in range(nch):
-            c_lc[pl.ds(t * T * B, T * B), :] = (
-                lc[t][...].reshape(T * B, B))
+        c_lc[...] = lc_ref[...].reshape(T * nch * B, B)
         c_ls[...] = ls_ref[...].reshape(T * 8, B)
 
     return kern
@@ -1472,9 +1476,9 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
     T without re-running tools/tsolve_probe.py's hardware bit-identity
     check."""
     L = rhs_t.shape[0]
-    nb = pre.lc1[0].shape[1]
-    nch = len(pre.lc1)
-    cdt = pre.lc1[0].dtype
+    nb = pre.lc1.shape[1]
+    nch = pre.lc1.shape[-2] // B
+    cdt = pre.lc1.dtype
     csz = jnp.dtype(cdt).itemsize
     D = nb * B
     assert rhs_t.shape == (L, KP, D), rhs_t.shape
@@ -1487,10 +1491,10 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
             return jnp.concatenate([x, fill], axis=0)
 
         pre = BandFacPre(
-            tuple(pad(c) for c in pre.lc1), pad(pre.ls1, one=True),
-            tuple(pad(c) for c in pre.dc1), pad(pre.ds1, one=True),
-            tuple(pad(c) for c in pre.lc0), pad(pre.ls0, one=True),
-            tuple(pad(c) for c in pre.dc0), pad(pre.ds0, one=True),
+            pad(pre.lc1), pad(pre.ls1, one=True),
+            pad(pre.dc1), pad(pre.ds1, one=True),
+            pad(pre.lc0), pad(pre.ls0, one=True),
+            pad(pre.dc0), pad(pre.ds0, one=True),
             pad(pre.dh, one=True), pad(pre.dl))
         rhs_t = jnp.concatenate(
             [rhs_t, jnp.zeros((Lp - L, KP, D), rhs_t.dtype)], axis=0)
@@ -1502,13 +1506,13 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
         return v.reshape(Lp, KP, nb, B).transpose(0, 2, 1, 3)
 
     xh, xl = tob(xh), tob(xl)
-    spec_bb = pl.BlockSpec((T, 1, B, B), lambda t, k: (t, k, 0, 0),
+    spec_cb = pl.BlockSpec((T, 1, nch * B, B), lambda t, k: (t, k, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec((T, 1, 8, B), lambda t, k: (t, k, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_x = pl.BlockSpec((T, 1, KP, B), lambda t, k: (t, k, 0, 0),
                           memory_space=pltpu.VMEM)
-    rspec_bb = pl.BlockSpec((T, 1, B, B),
+    rspec_cb = pl.BlockSpec((T, 1, nch * B, B),
                             lambda t, k: (t, nb - 1 - k, 0, 0),
                             memory_space=pltpu.VMEM)
     rspec_d = pl.BlockSpec((T, 1, 8, B),
@@ -1531,25 +1535,24 @@ def _band_solve_pre_batch(pre: BandFacPre, rhs_t, T: int = T_SOLVE,
     with jax.enable_x64(False):
         wh, wl = pl.pallas_call(
             _make_fwd_kernel_pre_b(T, nch), grid=(Lp // T, nb),
-            in_specs=[spec_bb] * nch + [spec_d]
-            + [spec_bb] * nch + [spec_d] + [spec_d] * 2
-            + [spec_x] * 2,
+            in_specs=[spec_cb, spec_d, spec_cb, spec_d]
+            + [spec_d] * 2 + [spec_x] * 2,
             out_specs=(spec_x, spec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((T * KP, B), jnp.float32)] * 2,
             compiler_params=arb,
             interpret=interpret,
-        )(*pre.lc1, pre.ls1, *pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
+        )(pre.lc1, pre.ls1, pre.dc1, pre.ds1, pre.dh, pre.dl, xh, xl)
         zh, zl = pl.pallas_call(
             _make_bwd_kernel_pre_b(T, nch), grid=(Lp // T, nb),
-            in_specs=[rspec_bb] * nch + [rspec_d]
-            + [rspec_bb] * nch + [rspec_d] + [rspec_x] * 2,
+            in_specs=[rspec_cb, rspec_d, rspec_cb, rspec_d]
+            + [rspec_x] * 2,
             out_specs=(rspec_x, rspec_x), out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((T * KP, B), jnp.float32)] * 2
-            + [pltpu.VMEM((nch * T * B, B), cdt),
+            + [pltpu.VMEM((T * nch * B, B), cdt),
                pltpu.VMEM((T * 8, B), jnp.float32)],
             compiler_params=arb,
             interpret=interpret,
-        )(*pre.lc0, pre.ls0, *pre.dc0, pre.ds0, wh, wl)
+        )(pre.lc0, pre.ls0, pre.dc0, pre.ds0, wh, wl)
     z = zh.astype(jnp.float64) + zl.astype(jnp.float64)
     z = z.transpose(0, 2, 1, 3).reshape(Lp, KP, D)
     return z[:L]
@@ -1618,15 +1621,9 @@ def _make_band_factor_tiled_pre(T: int, i8: bool = False):
         return jnp.where(row0, jnp.broadcast_to(v, (T, 8, B)), 0.0)
 
     def kern(kdh_ref, kdl_ref, ksh_ref, ksl_ref, *o):
-        lc1 = o[0:nch]
-        ls1_ref = o[nch]
-        dc1 = o[nch + 1:2 * nch + 1]
-        ds1_ref = o[2 * nch + 1]
-        lc0 = o[2 * nch + 2:3 * nch + 2]
-        ls0_ref = o[3 * nch + 2]
-        dc0 = o[3 * nch + 3:4 * nch + 3]
-        ds0_ref = o[4 * nch + 3]
-        (dh_ref, dl_ref, c_dc, c_dsc, c_dh, c_dl) = o[4 * nch + 4:]
+        (lc1_ref, ls1_ref, dc1_ref, ds1_ref,
+         lc0_ref, ls0_ref, dc0_ref, ds0_ref,
+         dh_ref, dl_ref, c_dc, c_dsc, c_dh, c_dl) = o
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -1650,9 +1647,10 @@ def _make_band_factor_tiled_pre(T: int, i8: bool = False):
         # the product is bit-identical to the pair-carry form (on the
         # i8 scheme the 7-bit grids round L differently — consistent
         # with the scheme's solve-side arithmetic)
+        cdv = _bT(c_dc[...], T)                      # (T, nch*B, B)
         ph, plo = mm_pre(
             Ksh, Ksl,
-            lambda t: c_dc[pl.ds(t * T * B, T * B), :].reshape(T, B, B),
+            lambda t: cdv[:, t * B:(t + 1) * B],
             _bT(c_dsc[...], T)[:, 0:1, :], T, transpose_b=True)
         Lh, Ll = ds_div(ph, plo, jnp.broadcast_to(dph, (T, B, B)),
                         jnp.broadcast_to(dpl, (T, B, B)))
@@ -1672,18 +1670,18 @@ def _make_band_factor_tiled_pre(T: int, i8: bool = False):
         # axis-2 X chunks double as the next step's GEMM operand (the
         # scratch carry above)
         for src_h, src_l, cref, sref, axis in (
-                (Lh, Ll, lc1, ls1_ref, 2), (Lh, Ll, lc0, ls0_ref, 1),
-                (Xh, Xl, dc0, ds0_ref, 1)):
+                (Lh, Ll, lc1_ref, ls1_ref, 2), (Lh, Ll, lc0_ref,
+                                                ls0_ref, 1),
+                (Xh, Xl, dc0_ref, ds0_ref, 1)):
             ch, s = chunker(src_h, src_l, axis=axis)
-            for t in range(nch):
-                _wr(cref[t], ch[t])
+            _wr(cref, jnp.concatenate(ch, axis=1))   # (T, nch*B, B)
             v = _scale_lane_row(s, T) if axis == 2 else s
             _wr(sref, srow(v))
         ch, s = chunker(Xh, Xl, axis=2)
         sx = srow(_scale_lane_row(s, T))
-        for t in range(nch):
-            _wr(dc1[t], ch[t])
-            c_dc[pl.ds(t * T * B, T * B), :] = ch[t].reshape(T * B, B)
+        stacked = jnp.concatenate(ch, axis=1)
+        _wr(dc1_ref, stacked)
+        c_dc[...] = stacked.reshape(T * nch * B, B)  # lane-major carry
         _wr(ds1_ref, sx)
         c_dsc[...] = sx.reshape(T * 8, B)
         dbb = jnp.broadcast_to(dh, (T, 8, B))
@@ -1735,10 +1733,12 @@ def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
                            memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec((T, 1, 8, B), lambda t, k: (t, k, 0, 0),
                           memory_space=pltpu.VMEM)
-    sh_c = jax.ShapeDtypeStruct((Lp, nb, B, B), cdt)
+    spec_cb = pl.BlockSpec((T, 1, nch * B, B), lambda t, k: (t, k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sh_c = jax.ShapeDtypeStruct((Lp, nb, nch * B, B), cdt)
     sh_s = jax.ShapeDtypeStruct((Lp, nb, 8, B), jnp.float32)
-    group = (spec_bb,) * nch + (spec_d,)
-    gshape = (sh_c,) * nch + (sh_s,)
+    group = (spec_cb, spec_d)
+    gshape = (sh_c, sh_s)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             _make_band_factor_tiled_pre(T, i8),
@@ -1751,7 +1751,7 @@ def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
                 # int8: 2.3-4.6x less scratch than the f32 pair it
                 # replaced, and the next step's GEMM skips the
                 # re-decomposition)
-                pltpu.VMEM((nch * T * B, B), cdt),
+                pltpu.VMEM((T * nch * B, B), cdt),
                 pltpu.VMEM((T * 8, B), jnp.float32),
                 pltpu.VMEM((T * 8, B), jnp.float32),
                 pltpu.VMEM((T * 8, B), jnp.float32),
@@ -1763,13 +1763,7 @@ def _band_factor_pre_batch(Kdiag, Ksub, T: int = T_LANES,
         )(kdh, kdl, ksh, ksl)
     if Lp != L:
         out = tuple(x[:L] for x in out)
-    N = nch + 1
-    g = [out[i * N:(i + 1) * N] for i in range(4)]
-    return BandFacPre(tuple(g[0][:nch]), g[0][nch],
-                      tuple(g[1][:nch]), g[1][nch],
-                      tuple(g[2][:nch]), g[2][nch],
-                      tuple(g[3][:nch]), g[3][nch],
-                      out[4 * N], out[4 * N + 1])
+    return BandFacPre(*out)
 
 
 try:  # pragma: no cover - custom_batching present in all supported jax

@@ -626,14 +626,16 @@ def test_prechunked_matmul_bit_identical():
     ah, al = _split64(a)
     with jax.enable_x64(False):
         pre = jax.jit(prechunk_band_fac)(fac)
-        assert len(pre.lc1) == _NCHUNK and pre.lc1[0].dtype == jnp.bfloat16
+        assert pre.lc1.shape == (nb, _NCHUNK * 128, 128)
+        assert pre.lc1.dtype == jnp.bfloat16
         assert pre.ls1.shape == (nb, 8, 128)
         for k in range(nb):
             # fwd orientation: a @ L_k^T (chunks along axis -1)
             rh, rl = jax.jit(
                 lambda *x: ds_matmul(*x, transpose_b=True))(
                 ah, al, Lh[k], Ll[k])
-            c = tuple(x[k] for x in pre.lc1)
+            c = tuple(pre.lc1[k, t * 128:(t + 1) * 128]
+                      for t in range(_NCHUNK))
             ph, plo = jax.jit(lambda av, bv, c=c, s=pre.ls1[k]:
                               _ds_matmul_pre(av, bv, lambda t: c[t],
                                              s[0:1], True))(ah, al)
@@ -641,7 +643,8 @@ def test_prechunked_matmul_bit_identical():
             np.testing.assert_array_equal(np.asarray(plo), np.asarray(rl))
             # bwd orientation: a @ Dinv_k (chunks along axis -2)
             rh, rl = jax.jit(ds_matmul)(ah, al, Dih[k], Dil[k])
-            c = tuple(x[k] for x in pre.dc0)
+            c = tuple(pre.dc0[k, t * 128:(t + 1) * 128]
+                      for t in range(_NCHUNK))
             ph, plo = jax.jit(lambda av, bv, c=c, s=pre.ds0[k]:
                               _ds_matmul_pre(av, bv, lambda t: c[t],
                                              s[0:1], False))(ah, al)
@@ -977,7 +980,7 @@ def test_i8_band_solve_batched_matches_per_lane():
     rng = np.random.default_rng(11)
     rhs = jnp.asarray(rng.standard_normal((L, KP, nb * B)))
     pre = _band_factor_pre_batch(Kd, Ks, T=2, interpret=True, i8=True)
-    assert pre.lc1[0].dtype == jnp.int8 and len(pre.lc1) == 8
+    assert pre.lc1.dtype == jnp.int8 and pre.lc1.shape[-2] == 8 * B
     got_b = np.asarray(_band_solve_pre_batch(pre, rhs, T=2,
                                              interpret=True))
     got_l = np.asarray(jax.vmap(
@@ -1029,10 +1032,13 @@ def test_i8_batched_vs_unbatched_divergence():
     pre_u = jax.vmap(lambda a, b: prechunk_band_fac(
         _band_factor_ds_impl(a, b, interpret=True), i8=True))(Kd, Ks)
 
-    def recon(chunks, scale):
-        v = np.zeros(np.asarray(chunks[0]).shape, np.float64)
-        for t, c in enumerate(chunks):
-            v += np.asarray(c, np.float64) * 2.0 ** (-7 * (t + 1))
+    def recon(stacked, scale):
+        sn = np.asarray(stacked, np.float64)
+        nch = sn.shape[-2] // 128
+        v = np.zeros(sn.shape[:-2] + (128, sn.shape[-1]), np.float64)
+        for t in range(nch):
+            v += (sn[..., t * 128:(t + 1) * 128, :]
+                  * 2.0 ** (-7 * (t + 1)))
         # scale row 0 holds the per-ROW scales (axis -1 chunking)
         s = np.asarray(scale, np.float64)[..., 0, :][..., :, None]
         return v * s

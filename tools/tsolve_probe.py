@@ -60,11 +60,13 @@ def main():
     # L and Dinv reconstruct exactly in f64; the band solve then runs in
     # numpy f64 (errors ~2^-52 << the kernels' ~2^-48 target, so this
     # ranks the hardware paths' accuracy)
-    def recon(chunks, srow, axis):
+    def recon(stacked, srow, axis):
         s = np.asarray(jax.device_get(srow))[:, :, 0, :]   # (L, nb, B)
+        sn = np.asarray(jax.device_get(stacked), np.float64)
+        nch = sn.shape[-2] // B
         tot = np.zeros((L, nb, B, B))
-        for c in chunks:
-            tot += np.asarray(jax.device_get(c), np.float64)
+        for t in range(nch):
+            tot += sn[:, :, t * B:(t + 1) * B, :]
         return tot * (s[:, :, None, :] if axis == 1 else s[:, :, :, None])
 
     Lm = recon(pre.lc0, pre.ls0, axis=1)     # chunked along axis -2
