@@ -568,7 +568,20 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
     * the trailing chunk GEMM drops its structurally-zero half: the b
       operand [W e^-1 (t0 cols) | L e d e^-2 (B - t0 cols)] is exactly
       B wide (was 2B), and per-column chunk scales/dots/folds make each
-      surviving column bit-identical to the wide form."""
+      surviving column bit-identical to the wide form.
+
+    SPLIT PHASE-A SCHEDULE (round 4, on top of the compaction): the
+    panel's P = 16 sequential steps run as two H = 8 loops.  Steps
+    0..7 update the full (T, P, C) slab; steps 8..15 update only the
+    bottom sublane tile (T, H, C) — rows 0..7 are final by then and
+    the full-slab loop only fed them zero-multiplier updates
+    (lph = 0 -> the _ds_outer_sub reduces to a re-application of
+    _quick_renorm on an already-normalized pair, the identity except
+    on exact half-ulp ties).  Column extractions likewise read the
+    H-row tile that contains the pivot row instead of masking the
+    whole slab, and the Lt multiplier store carries one H-row tile
+    per loop.  ~25% of the phase-A vector work at tile granularity;
+    arithmetic is unchanged on every value that is still live."""
     T = Mh.shape[0]
     NP = B // P_LEAF
     P = P_LEAF
@@ -608,58 +621,79 @@ def _leaf_eliminate_blocked_b(Mh, Ml):
         Sl = jnp.concatenate(pieces_l, axis=2)
         z_row = jnp.zeros((T, 1, C), jnp.float32)
 
-        def body(jj, carry, q=q, mw=mw):
-            Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl = carry
-            rmask = lrow == jj
-            cmask = lcol_r == jj
-            keep = (lcol_r > jj) & (lcol_r < mw)
-            cwh = jnp.sum(jnp.where(rmask, Sh, 0.0), axis=1,
-                          keepdims=True)                   # (T, 1, C)
-            cwl = jnp.sum(jnp.where(rmask, Sl, 0.0), axis=1,
-                          keepdims=True)
-            djh = jnp.sum(jnp.where(cmask, cwh, 0.0), axis=2,
-                          keepdims=True)                   # (T, 1, 1)
-            djl = jnp.sum(jnp.where(cmask, cwl, 0.0), axis=2,
-                          keepdims=True)
-            djh = jnp.where(jnp.abs(djh) < tiny,
-                            jnp.where(djh < 0, -tiny, tiny), djh)
-            djh_b = jnp.broadcast_to(djh, (T, 1, C))
-            djl_b = jnp.broadcast_to(djl, (T, 1, C))
-            lh, ll = ds_div(cwh, cwl, djh_b, djl_b)
-            lh = jnp.where(keep, lh, 0.0)
-            ll = jnp.where(keep, ll, 0.0)
-            # row r's multiplier = l at local column r (symmetry); the
-            # panel slice (T, 1, P) carries every selected value
-            lph = jnp.sum(jnp.where(eyePP,
-                                    jnp.broadcast_to(lh[:, :, :P],
-                                                     (T, P, P)),
-                                    0.0), axis=2, keepdims=True)
-            lpl = jnp.sum(jnp.where(eyePP,
-                                    jnp.broadcast_to(ll[:, :, :P],
-                                                     (T, P, P)),
-                                    0.0), axis=2, keepdims=True)
-            ldh, ldl = ds_mul(lh, ll, djh_b, djl_b)
-            # fused row factor: [l*d | wj] exactly as the round-3 slab
-            xhalf = lcol_r >= mw
-            rfh = jnp.where(xhalf, cwh, ldh)
-            rfl = jnp.where(xhalf, cwl, ldl)
-            Sh, Sl = _ds_outer_sub(Sh, Sl, lph, lpl, rfh, rfl)
-            Lth = jnp.where(lrow[:, :, :mw] == jj,
-                            jnp.broadcast_to(lh[:, :, :mw], (T, P, mw)),
-                            Lth)
-            Ltl = jnp.where(lrow[:, :, :mw] == jj,
-                            jnp.broadcast_to(ll[:, :, :mw], (T, P, mw)),
-                            Ltl)
-            dph = jnp.where(cmask, djh, dph)               # local pivots
-            dpl = jnp.where(cmask, djl, dpl)
-            gmask = colv == (q + jj)
-            dvh = jnp.where(gmask, djh, dvh)
-            dvl = jnp.where(gmask, djl, dvl)
-            return Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl
+        H = P // 2
+        lrowH = lax.broadcasted_iota(jnp.int32, (1, H, C), 1)
+        eyeHbot = eyePP[:, H:, :]
 
-        z_pm = jnp.zeros((T, P, mw), jnp.float32)
-        (Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl) = _fori32(
-            P, body, (Sh, Sl, z_pm, z_pm, z_row, z_row, dvh, dvl))
+        def mk_body(row0, nrows, eye_sel, q=q, mw=mw):
+            # eliminates global panel row j = row0 + jj; the carried
+            # slab holds the last ``nrows`` panel rows and its first
+            # H-row tile contains the pivot rows of this loop
+            def body(jj, carry):
+                Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl = carry
+                j = jj + row0 if row0 else jj
+                rmask = lrowH == jj
+                cmask = lcol_r == j
+                keep = (lcol_r > j) & (lcol_r < mw)
+                cwh = jnp.sum(jnp.where(rmask, Sh[:, :H], 0.0), axis=1,
+                              keepdims=True)               # (T, 1, C)
+                cwl = jnp.sum(jnp.where(rmask, Sl[:, :H], 0.0), axis=1,
+                              keepdims=True)
+                djh = jnp.sum(jnp.where(cmask, cwh, 0.0), axis=2,
+                              keepdims=True)               # (T, 1, 1)
+                djl = jnp.sum(jnp.where(cmask, cwl, 0.0), axis=2,
+                              keepdims=True)
+                djh = jnp.where(jnp.abs(djh) < tiny,
+                                jnp.where(djh < 0, -tiny, tiny), djh)
+                djh_b = jnp.broadcast_to(djh, (T, 1, C))
+                djl_b = jnp.broadcast_to(djl, (T, 1, C))
+                lh, ll = ds_div(cwh, cwl, djh_b, djl_b)
+                lh = jnp.where(keep, lh, 0.0)
+                ll = jnp.where(keep, ll, 0.0)
+                # row r's multiplier = l at local column r (symmetry);
+                # the panel slice (T, 1, P) carries every selected value
+                lph = jnp.sum(jnp.where(eye_sel,
+                                        jnp.broadcast_to(lh[:, :, :P],
+                                                         (T, nrows, P)),
+                                        0.0), axis=2, keepdims=True)
+                lpl = jnp.sum(jnp.where(eye_sel,
+                                        jnp.broadcast_to(ll[:, :, :P],
+                                                         (T, nrows, P)),
+                                        0.0), axis=2, keepdims=True)
+                ldh, ldl = ds_mul(lh, ll, djh_b, djl_b)
+                # fused row factor: [l*d | wj] exactly as the round-3
+                # slab
+                xhalf = lcol_r >= mw
+                rfh = jnp.where(xhalf, cwh, ldh)
+                rfl = jnp.where(xhalf, cwl, ldl)
+                Sh, Sl = _ds_outer_sub(Sh, Sl, lph, lpl, rfh, rfl)
+                wmask = lrowH[:, :, :mw] == jj
+                Lth = jnp.where(wmask,
+                                jnp.broadcast_to(lh[:, :, :mw],
+                                                 (T, H, mw)), Lth)
+                Ltl = jnp.where(wmask,
+                                jnp.broadcast_to(ll[:, :, :mw],
+                                                 (T, H, mw)), Ltl)
+                dph = jnp.where(cmask, djh, dph)           # local pivots
+                dpl = jnp.where(cmask, djl, dpl)
+                gmask = colv == (q + j)
+                dvh = jnp.where(gmask, djh, dvh)
+                dvl = jnp.where(gmask, djl, dvl)
+                return Sh, Sl, Lth, Ltl, dph, dpl, dvh, dvl
+
+            return body
+
+        z_pm = jnp.zeros((T, H, mw), jnp.float32)
+        (Sh, Sl, Lt1h, Lt1l, dph, dpl, dvh, dvl) = _fori32(
+            H, mk_body(0, P, eyePP),
+            (Sh, Sl, z_pm, z_pm, z_row, z_row, dvh, dvl))
+        (S2h, S2l, Lt2h, Lt2l, dph, dpl, dvh, dvl) = _fori32(
+            H, mk_body(np.int32(H), H, eyeHbot),
+            (Sh[:, H:], Sl[:, H:], z_pm, z_pm, dph, dpl, dvh, dvl))
+        Sh = jnp.concatenate([Sh[:, :H], S2h], axis=1)
+        Sl = jnp.concatenate([Sl[:, :H], S2l], axis=1)
+        Lth = jnp.concatenate([Lt1h, Lt2h], axis=1)
+        Ltl = jnp.concatenate([Lt1l, Lt2l], axis=1)
 
         # eliminated panel rows, output layout [X 0..t0 | M t0..B]: the
         # slab tail [M P..mw | X 0..t0] rotated right by t0 (a lane
