@@ -262,33 +262,35 @@ def ds_matmul(ah, al, bh, bl, transpose_b: bool = False):
         dn = (((1,), (0,)), ((), ()))
         sb_out = sb
 
-    cat_axis = 1 if transpose_b else 0
-    # same-level partials share a grid; a PAIR of them sums exactly in
-    # f32 (2 * 128 * 2^16 <= 2^24), so concatenate pairs along the
-    # contraction axis and let one MXU dot produce the exact pair sum —
-    # ~half the dots and TwoSum folds of one-per-partial.  Beyond
-    # K = 128 a pair may exceed 2^24: fall back to one dot per partial.
+    # ROW-STACKED dots (round 4, see _ds_matmul_pre): all live (s, t)
+    # products against operand chunk t come from ONE MXU dot of the
+    # a-chunk row stack — 7 dots instead of ~17-34 (16-row dots were
+    # ~90% pipeline fill).  The same-level pair sum moves from the
+    # gsz=2 concatenated-dot accumulator to an explicit f32 add of the
+    # two sliced partials — exactly equal (2 * 128 * 2^16 <= 2^24 on
+    # the level grid), so the TwoSum folds below are bit-identical.
+    # Beyond K = 128 a pair may exceed 2^24: one fold per partial, as
+    # before.  Explicit DEFAULT precision on the dots: an ambient
+    # default_matmul_precision("highest") context (kkt.py wraps its
+    # solves in one) would otherwise ask Mosaic for a multi-pass bf16x6
+    # algorithm on ALREADY-bf16 operands, which it rejects ("Bad lhs
+    # type"); the chunk products are exact in one pass by construction.
+    M = ah.shape[0]
+    A = jnp.concatenate(a, axis=0)                    # (nch*M, K)
+    prods = [jax.lax.dot_general(
+        A[:_PRE_NS[t] * M], b[t], dn,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32) for t in range(_NCHUNK)]
     gsz = 2 if ah.shape[1] <= 128 else 1
     sh = None
     sl = None
     for pairs in _LEVEL_PAIRS:
         for g in range(0, len(pairs), gsz):
             grp = pairs[g:g + gsz]
-            if len(grp) == 1:
-                A, Bc = a[grp[0][0]], b[grp[0][1]]
-            else:
-                A = jnp.concatenate([a[s] for s, _ in grp], axis=1)
-                Bc = jnp.concatenate([b[t] for _, t in grp],
-                                     axis=cat_axis)
-            # explicit DEFAULT precision: an ambient
-            # default_matmul_precision("highest") context (kkt.py wraps
-            # its solves in one) would otherwise ask Mosaic for a
-            # multi-pass bf16x6 algorithm on ALREADY-bf16 operands,
-            # which it rejects ("Bad lhs type"); the chunk products are
-            # exact in one pass by construction
-            p = jax.lax.dot_general(A, Bc, dn,
-                                    precision=jax.lax.Precision.DEFAULT,
-                                    preferred_element_type=jnp.float32)
+            p = None
+            for s, t in grp:
+                q = prods[t][s * M:(s + 1) * M]
+                p = q if p is None else p + q
             if sh is None:
                 sh, sl = p, jnp.zeros_like(p)
             else:
@@ -460,30 +462,33 @@ def _ds_matmul_b(ah, al, bh, bl, T: int, transpose_b: bool = True):
     if transpose_b:
         b, sb = _chunks_scaled(bh, bl, axis=2)        # sb: (T, N, 1)
         dn = (((2,), (2,)), ((0,), (0,)))
-        cat_axis = 2
         sb_out = jnp.swapaxes(sb, 1, 2)
     else:
         b, sb = _chunks_scaled(bh, bl, axis=1)        # sb: (T, 1, N)
         dn = (((2,), (1,)), ((0,), (0,)))
-        cat_axis = 1
         sb_out = sb
+    # ROW-STACKED dots (round 4, see _ds_matmul_pre): all live (s, t)
+    # products against operand chunk t come from ONE lane-batched MXU
+    # dot of the a-chunk row stack — 7 dots instead of 17 K=256 dots
+    # (each of which was two MXU passes).  The gsz=2 group pair-sum
+    # moves from the MXU accumulator to an explicit f32 add of the two
+    # sliced partials — exactly equal (both are integers <= 2^24 on
+    # the level grid), so the folds below are bit-identical.
+    R = ah.shape[1]
+    A = jnp.concatenate(a, axis=1)                    # (T, nch*R, B)
+    prods = [jax.lax.dot_general(
+        A[:, :_PRE_NS[t] * R], b[t], dn,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32) for t in range(_NCHUNK)]
     gsz = 2 if ah.shape[2] <= 128 else 1
     sh = sl = None
     for pairs in _LEVEL_PAIRS:
         for g in range(0, len(pairs), gsz):
             grp = pairs[g:g + gsz]
-            if len(grp) == 1:
-                A, Bc = a[grp[0][0]], b[grp[0][1]]
-            else:
-                A = jnp.concatenate([a[s] for s, _ in grp], axis=2)
-                Bc = jnp.concatenate([b[t] for _, t in grp],
-                                     axis=cat_axis)
-            # ONE lane-batched MXU dot (Mosaic supports dot_general
-            # batch dims in-kernel) — a static per-lane dot loop paid
-            # T x the dot issue/latency for identical per-lane math
-            p = jax.lax.dot_general(A, Bc, dn,
-                                    precision=jax.lax.Precision.DEFAULT,
-                                    preferred_element_type=jnp.float32)
+            p = None
+            for s, t in grp:
+                q = prods[t][:, s * R:(s + 1) * R]
+                p = q if p is None else p + q
             if sh is None:
                 sh, sl = p, jnp.zeros_like(p)
             else:
@@ -1200,6 +1205,14 @@ def prechunk_band_fac(fac, i8: bool = False) -> BandFacPre:
     return BandFacPre(lc1, ls1, dc1, ds1, lc0, ls0, dc0, ds0, dh, dl)
 
 
+# rows-of-s used against operand chunk t (pairs with s + t <= max
+# level): the row-stacked product trims the lhs stack to just the live
+# rows per dot
+_PRE_NS = tuple(
+    max(s for pairs in _LEVEL_PAIRS for (s, tt) in pairs if tt == t) + 1
+    for t in range(_NCHUNK))
+
+
 def _ds_matmul_pre(ah, al, get_chunk, sb_row, transpose_b: bool = False):
     """ds_matmul against a prechunked big operand.
 
@@ -1208,12 +1221,28 @@ def _ds_matmul_pre(ah, al, get_chunk, sb_row, transpose_b: bool = False):
     scale row.  Bit-identical to ds_matmul on the (hi, lo) operand:
     same chunk values, and the per-group f32 pair-sum of two 128-term
     grid-aligned partials equals the concatenated 256-term dot exactly
-    (both are integers <= 2^24 on the level's grid)."""
+    (both are integers <= 2^24 on the level's grid).
+
+    ROW-STACKED DOTS (round 4): the rhs chunk stack concatenates along
+    the ROW axis, so all live (s, t) products against operand chunk t
+    come out of ONE MXU dot of _PRE_NS[t]*R rows — 7 passes instead of
+    34 per product (an MXU pass costs ~fill + rows cycles, so 16-row
+    dots were ~90% fill; this is where negative-result 8b's pair-span
+    failed: K = 256 spans cost two passes, row stacking costs one).
+    Each output row of a dot is an independent K-deep f32 accumulation,
+    so the sliced products are bit-identical to the per-pair dots and
+    the fold order below is unchanged."""
     a, sa = _chunks_scaled(ah, al, axis=1)
+    R = ah.shape[0]
+    A = jnp.concatenate(a, axis=0)                    # (nch*R, B)
     if transpose_b:
         dn = (((1,), (1,)), ((), ()))
     else:
         dn = (((1,), (0,)), ((), ()))
+    prods = [jax.lax.dot_general(
+        A[:_PRE_NS[t] * R], get_chunk(t), dn,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32) for t in range(_NCHUNK)]
     gsz = 2 if ah.shape[1] <= 128 else 1
     sh = sl = None
     for pairs in _LEVEL_PAIRS:
@@ -1221,10 +1250,7 @@ def _ds_matmul_pre(ah, al, get_chunk, sb_row, transpose_b: bool = False):
             grp = pairs[g:g + gsz]
             p = None
             for s, t in grp:
-                q = jax.lax.dot_general(
-                    a[s], get_chunk(t), dn,
-                    precision=jax.lax.Precision.DEFAULT,
-                    preferred_element_type=jnp.float32)
+                q = prods[t][s * R:(s + 1) * R]
                 p = q if p is None else p + q
             if sh is None:
                 sh, sl = p, jnp.zeros_like(p)
@@ -1383,12 +1409,20 @@ def _ds_matmul_pre_b(ah, al, get_chunk, sb_row, T: int,
     ``get_chunk(t)`` -> (T, B, B) bf16 chunk t of the per-lane operand,
     ``sb_row`` (T, 1, N) f32 scale rows.  Same per-lane arithmetic as
     _ds_matmul_pre (the batched dot computes the per-lane dots; the
-    group pair-sums and TwoSum folds are elementwise)."""
+    group pair-sums and TwoSum folds are elementwise), including its
+    row-stacked dot scheme (7 lane-batched MXU dots per product
+    instead of 34 — see the _ds_matmul_pre docstring)."""
     a, sa = _chunks_scaled(ah, al, axis=2)            # sa: (T, R, 1)
+    R = ah.shape[1]
+    A = jnp.concatenate(a, axis=1)                    # (T, nch*R, B)
     if transpose_b:
         dn = (((2,), (2,)), ((0,), (0,)))
     else:
         dn = (((2,), (1,)), ((0,), (0,)))
+    prods = [jax.lax.dot_general(
+        A[:, :_PRE_NS[t] * R], get_chunk(t), dn,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32) for t in range(_NCHUNK)]
     gsz = 2 if ah.shape[2] <= 128 else 1
     sh = sl = None
     for pairs in _LEVEL_PAIRS:
@@ -1396,10 +1430,7 @@ def _ds_matmul_pre_b(ah, al, get_chunk, sb_row, T: int,
             grp = pairs[g:g + gsz]
             p = None
             for s, t in grp:
-                q = jax.lax.dot_general(
-                    a[s], get_chunk(t), dn,
-                    precision=jax.lax.Precision.DEFAULT,
-                    preferred_element_type=jnp.float32)
+                q = prods[t][:, s * R:(s + 1) * R]
                 p = q if p is None else p + q
             if sh is None:
                 sh, sl = p, jnp.zeros_like(p)
