@@ -243,28 +243,13 @@ def matmul_ds(a, bmat):
     chunked-while-loop f64 emulation — whose per-chunk loop overhead
     (~65 us on v5e) dominates below ~1k sizes — with one launch at
     bf16-MXU rate (~2^-48 accuracy; consumers run under float64
-    iterative refinement).
-
-    Carries a custom_vmap rule (the batched dense-LDL path): with a
-    PER-LANE ``bmat`` a vmapped Pallas grid replays lanes sequentially
-    — the measured reason 16 batched bnl1 lanes ran near-serial — so
-    the batched case lowers to ONE batched XLA f64 contraction, whose
-    emulation amortizes its chunked while-loop across the lane axis
-    (and is exact f64, a strict accuracy upgrade the refinement
-    absorbs).  A batched ``a`` against a SHARED ``bmat`` collapses
-    lanes into kernel rows instead (operand streamed once)."""
+    iterative refinement)."""
     assert a.ndim == 2 and bmat.ndim == 2, (a.shape, bmat.shape)
     r, k = a.shape
     k2, n = bmat.shape
     assert k == k2, (a.shape, bmat.shape)
     if r == 0 or n == 0 or k == 0:
         return jnp.zeros((r, n), a.dtype)
-    return _matmul_ds_cv(a, bmat)
-
-
-def _matmul_ds_impl(a, bmat):
-    r, k = a.shape
-    _, n = bmat.shape
     kp = -(-max(k, 1) // B) * B
     npad = -(-max(n, 1) // B) * B
     bm = jnp.zeros((kp, npad), bmat.dtype).at[:k, :n].set(bmat)
@@ -280,29 +265,6 @@ def _matmul_ds_impl(a, bmat):
     out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
     out = out.transpose(1, 0, 2).reshape(R, npad)
     return out[:r, :n]
-
-
-from jax import custom_batching as _custom_batching  # noqa: E402
-
-
-@_custom_batching.custom_vmap
-def _matmul_ds_cv(a, bmat):
-    return _matmul_ds_impl(a, bmat)
-
-
-@_matmul_ds_cv.def_vmap
-def _matmul_ds_cv_vmap(axis_size, in_batched, a, bmat):
-    a_b, b_b = in_batched
-    if b_b:
-        # per-lane big operand: one batched XLA f64 contraction (see
-        # the matmul_ds docstring)
-        with jax.default_matmul_precision("highest"):
-            out = jnp.matmul(a, bmat)
-        return out, True
-    # shared operand: collapse the lane axis into kernel rows
-    L = a.shape[0]
-    out = _matmul_ds_impl(a.reshape(L * a.shape[1], a.shape[2]), bmat)
-    return out.reshape(L, a.shape[1], out.shape[-1]), True
 
 
 def gemv_ds_available() -> bool:
@@ -340,11 +302,6 @@ class PrechunkedOperand:
     def __init__(self, hi, lo, transpose_b: bool = False):
         assert hi.ndim == 2 and hi.shape == lo.shape, (hi.shape, lo.shape)
         self.tb = transpose_b
-        # retained for the batched fallback (custom_vmap rule): with
-        # per-lane operands the chunk stacks go unused and XLA DCEs
-        # their construction; unbatched, hi/lo feed only the chunk
-        # build as before
-        self.hi, self.lo = hi, lo
         if not transpose_b:
             kp, npad = hi.shape
             nk = kp // B
@@ -366,61 +323,22 @@ class PrechunkedOperand:
         self.kp, self.npad = kp, npad
 
     def rmatmul(self, a):
-        """a @ B (or a @ B.T): float64 ``a`` of shape (r, kp).
-
-        custom_vmap'd like matmul_ds: per-lane operands (the batched
-        dense-LDL solve path) lower to one batched XLA f64 contraction
-        against hi+lo instead of a lane-replayed Pallas grid."""
+        """a @ B (or a @ B.T): float64 ``a`` of shape (r, kp)."""
         assert a.ndim == 2 and a.shape[1] == self.kp, (a.shape, self.kp)
-        return _pre_rmatmul_cv(bool(self.tb))(
-            a, self.hi, self.lo, self.scales, *self.chunks)
-
-
-def _pre_rmatmul_impl(a, scales, chunks, tb):
-    kp = a.shape[1]
-    npad = chunks[0].shape[0] if tb else chunks[0].shape[1]
-    r = a.shape[0]
-    R = -(-max(r, 1) // KP) * KP
-    if R > RB_MAX:
-        R = -(-R // RB_MAX) * RB_MAX
-    ap = jnp.zeros((R, kp), a.dtype).at[:r].set(a)
-    ah = ap.astype(jnp.float32)
-    al = (ap - ah.astype(jnp.float64)).astype(jnp.float32)
-    oh, ol = _gemv_pre_call(R, kp, npad, scales.shape[0], tb,
-                            _PRE_INTERPRET)(ah, al, *chunks, scales)
-    out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
-    out = out.transpose(1, 0, 2).reshape(R, npad)
-    return out[:r]
-
-
-@functools.lru_cache(maxsize=4)
-def _pre_rmatmul_cv(tb: bool):
-    from jax import custom_batching
-
-    @custom_batching.custom_vmap
-    def f(a, hi, lo, scales, *chunks):
-        return _pre_rmatmul_impl(a, scales, chunks, tb)
-
-    @f.def_vmap
-    def f_vmap(axis_size, in_batched, a, hi, lo, scales, *chunks):
-        a_b = in_batched[0]
-        op_b = any(in_batched[1:])
-        if op_b:
-            # per-lane factor: exact-f64 reconstruction (hi + lo is
-            # the split, so the sum is the original operand) and one
-            # batched XLA contraction; the unused chunk stacks DCE
-            b64 = hi.astype(jnp.float64) + lo.astype(jnp.float64)
-            if tb:
-                b64 = jnp.swapaxes(b64, -1, -2)
-            with jax.default_matmul_precision("highest"):
-                out = jnp.matmul(a, b64)
-            return out, True
-        L = a.shape[0]
-        out = _pre_rmatmul_impl(a.reshape(L * a.shape[1], a.shape[2]),
-                                scales, chunks, tb)
-        return out.reshape(L, a.shape[1], out.shape[-1]), True
-
-    return f
+        r = a.shape[0]
+        R = -(-max(r, 1) // KP) * KP
+        if R > RB_MAX:
+            R = -(-R // RB_MAX) * RB_MAX
+        ap = jnp.zeros((R, self.kp), a.dtype).at[:r].set(a)
+        ah = ap.astype(jnp.float32)
+        al = (ap - ah.astype(jnp.float64)).astype(jnp.float32)
+        oh, ol = _gemv_pre_call(R, self.kp, self.npad,
+                                self.scales.shape[0], self.tb,
+                                _PRE_INTERPRET)(
+            ah, al, *self.chunks, self.scales)
+        out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+        out = out.transpose(1, 0, 2).reshape(R, self.npad)
+        return out[:r]
 
 
 def _gemv_kernel_prechunked(R, tb, *refs):

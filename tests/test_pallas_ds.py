@@ -1071,102 +1071,3 @@ def test_i8_batched_vs_unbatched_divergence():
     rb = np.abs(np.einsum("lij,lkj->lki", Kfull, zb) - rn).max()
     ru = np.abs(np.einsum("lij,lkj->lki", Kfull, zu) - rn).max()
     assert rb < 10 * max(ru, 1e-12), (rb, ru)
-
-
-def test_matmul_ds_batched_rules():
-    """The matmul_ds custom_vmap rules (the batched dense-LDL path):
-    per-lane operands lower to one batched exact-f64 XLA contraction;
-    a batched ``a`` against a shared operand collapses lanes into
-    kernel rows (bit-identical to one wide unbatched call)."""
-    import functools
-
-    from eicos_tpu.ops import pallas_gemm_ds as g
-
-    if not g._HAS_PALLAS:
-        pytest.skip("pallas not importable")
-    rng = np.random.default_rng(41)
-    L, r, k, n = 3, 5, 256, 130
-    a3 = jnp.asarray(rng.standard_normal((L, r, k)))
-    b3 = jnp.asarray(rng.standard_normal((L, k, n)))
-
-    # both batched -> exact f64 batched contraction
-    got = np.asarray(jax.device_get(jax.vmap(g.matmul_ds)(a3, b3)))
-    ref = np.einsum("lrk,lkn->lrn", np.asarray(a3), np.asarray(b3))
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-13
-
-    # shared a, batched operand -> same rule (broadcast a)
-    got1 = np.asarray(jax.device_get(
-        jax.vmap(g.matmul_ds, in_axes=(None, 0))(a3[0], b3)))
-    ref1 = np.einsum("rk,lkn->lrn", np.asarray(a3[0]), np.asarray(b3))
-    assert np.abs(got1 - ref1).max() / np.abs(ref1).max() < 1e-13
-
-    # batched a, shared operand -> lane collapse into kernel rows,
-    # checked through the interpreter kernel
-    @functools.lru_cache(maxsize=8)
-    def interp_call(R, kpx, npx):
-        nn = npx // g.B
-        RB = min(R, g.RB_MAX)
-        nr = R // RB
-        import jax.experimental.pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        spec_a = pl.BlockSpec((RB, kpx), lambda j, rr: (rr, 0),
-                              memory_space=pltpu.VMEM)
-        spec_b = pl.BlockSpec((kpx, g.B), lambda j, rr: (0, j),
-                              memory_space=pltpu.VMEM)
-        spec_o = pl.BlockSpec((1, RB, g.B), lambda j, rr: (j, rr, 0),
-                              memory_space=pltpu.VMEM)
-        kern = functools.partial(g._gemv_kernel, RB)
-
-        def call(ah, al, bh, bl):
-            with jax.enable_x64(False):
-                return pl.pallas_call(
-                    kern, grid=(nn, nr),
-                    in_specs=[spec_a, spec_a, spec_b, spec_b],
-                    out_specs=(spec_o, spec_o),
-                    out_shape=(jax.ShapeDtypeStruct(
-                        (nn, nr * RB, g.B), jnp.float32),) * 2,
-                    interpret=True,
-                )(ah, al, bh, bl)
-
-        return call
-
-    orig = g._gemv_call
-    g._gemv_call = interp_call
-    try:
-        got2 = np.asarray(jax.device_get(
-            jax.vmap(g.matmul_ds, in_axes=(0, None))(a3, b3[0])))
-        want2 = np.asarray(jax.device_get(
-            g.matmul_ds(a3.reshape(L * r, k), b3[0])))
-    finally:
-        g._gemv_call = orig
-    np.testing.assert_array_equal(got2, want2.reshape(L, r, n))
-
-
-def test_prechunked_rmatmul_batched_rule():
-    """PrechunkedOperand.rmatmul under vmap with per-lane operands
-    lowers to the exact-f64 batched contraction (hi + lo reconstructs
-    the operand exactly), both orientations."""
-    from eicos_tpu.ops import pallas_gemm_ds as g
-
-    if not g._HAS_PALLAS:
-        pytest.skip("pallas not importable")
-    rng = np.random.default_rng(43)
-    L, r, kp, npad = 3, 4, 256, 128
-    Bm = rng.standard_normal((L, kp, npad))
-    a3 = jnp.asarray(rng.standard_normal((L, r, kp)))
-    hi3, lo3 = _split64(Bm)
-    hiT3, loT3 = _split64(Bm.transpose(0, 2, 1))
-
-    def f_n(a, hi, lo):
-        return g.PrechunkedOperand(hi, lo, transpose_b=False).rmatmul(a)
-
-    def f_t(a, hi, lo):
-        return g.PrechunkedOperand(hi, lo, transpose_b=True).rmatmul(a)
-
-    got_n = np.asarray(jax.device_get(
-        jax.vmap(f_n)(a3, jnp.asarray(hi3), jnp.asarray(lo3))))
-    got_t = np.asarray(jax.device_get(
-        jax.vmap(f_t)(a3, jnp.asarray(hiT3), jnp.asarray(loT3))))
-    ref = np.einsum("lrk,lkn->lrn", np.asarray(a3), Bm)
-    assert np.abs(got_n - ref).max() / np.abs(ref).max() < 1e-13
-    assert np.abs(got_t - ref).max() / np.abs(ref).max() < 1e-13
