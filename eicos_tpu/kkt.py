@@ -860,21 +860,7 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                     # blocks (per-lane, ~n_spr*w^2 + n_sing + n values,
                     # plus the NT-scaled kept + coupling cone blocks on
                     # a keep_soc plan); the shared [A | consts] base is
-                    # gathered once (unbatched under vmap).
-                    #
-                    # COMPACT scatter (round 4): scattering into the
-                    # full 2*nbb flat band cost ~4 extra HBM passes of
-                    # the (lanes, 2*nbb) f64 buffer per iteration —
-                    # XLA zero-fills it, scatters in a lane-minor
-                    # layout, then layout-copies to the lane-major form
-                    # the factor kernel wants (~9.7 ms/iter traced at
-                    # 128 SOCP lanes, ~5.8 LP).  The target set is
-                    # STATIC, so scatter into a buffer of just the
-                    # active slots and place it with a static-index
-                    # gather fused into the base add.  Bit-identical:
-                    # the update order is unchanged (indices remap
-                    # monotonically), inactive slots read the zero pad
-                    # slot exactly as the flat buffer held 0.0.
+                    # gathered once (unbatched under vmap)
                     nbb = (Dp // 128) * 128 * 128
                     idx = _band_scatter_idx(
                         n, p, Dp, tuple(int(v) for v in perm),
@@ -883,21 +869,11 @@ def factor(st: ProblemStructure, ctx: KKTContext,
                         (st.socsplit.cols if st.n_sc else ()),
                         (st.socsplit.width if st.n_sc else 0),
                         st.q if keep_soc else ())
-                    idx_a = np.asarray(idx, np.int64)
-                    act = np.unique(idx_a)        # sorted active slots
-                    nact = int(act.size)
-                    cidx = jnp.asarray(
-                        np.searchsorted(act, idx_a).astype(np.int32))
-                    gmap = np.full((2 * nbb,), nact, np.int32)
-                    gmap[act] = np.arange(nact, dtype=np.int32)
-                    compact = (jnp.zeros((nact + 1,), fdtype)
-                               .at[cidx].add(band_vals))
-                    gd2 = jnp.asarray(gmap[:nbb].reshape(-1, 128, 128))
-                    gs2 = jnp.asarray(gmap[nbb:].reshape(-1, 128, 128))
-                    Kd = (jnp.where(dmask, 0.0, other[dio])
-                          + compact[gd2])
-                    Ks = (jnp.where(smask, 0.0, other[sio])
-                          + compact[gs2])
+                    buf = (jnp.zeros((2 * nbb,), fdtype)
+                           .at[jnp.asarray(idx)].add(band_vals))
+                    bufb = buf.reshape(2, -1, 128, 128)
+                    Kd = (jnp.where(dmask, 0.0, other[dio]) + bufb[0])
+                    Ks = (jnp.where(smask, 0.0, other[sio]) + bufb[1])
                 else:
                     Hflat = H.reshape(-1)
 
