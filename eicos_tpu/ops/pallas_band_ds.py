@@ -367,6 +367,10 @@ def _leaf_eliminate(Mh, Ml):
 # plain loop — only the schedule changes.
 
 P_LEAF = 16
+# the split phase-A schedule runs each panel as two P/2-step loops
+# (steps P/2..P-1 touch only the bottom sublane tile) — odd P would
+# silently leave the last panel row uneliminated
+assert P_LEAF % 2 == 0, P_LEAF
 _UNROLL_INNER = False
 
 

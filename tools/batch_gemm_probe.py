@@ -24,7 +24,11 @@ def bench(fn, *args, reps=10):
     import jax
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    # force a device->host fetch: through the axon tunnel
+    # block_until_ready returns before execution finishes, so the first
+    # timed rep would otherwise absorb compile/warmup
+    o0 = out[0] if isinstance(out, (tuple, list)) else out
+    float(jax.device_get(o0.ravel()[0]))
     ts = []
     for _ in range(reps):
         t0 = time.time()
