@@ -253,7 +253,43 @@ def make_context(st: ProblemStructure, G, A, settings) -> KKTContext:
     return KKTContext(G=G, A=A, K0=K0, **_make_sliced(st, G, A, 0))
 
 
-def _factor_in_dtype(K, settings) -> LDLFactors:
+def _use_subst(dtype, settings) -> bool:
+    """Route the dense-path solves through the in-kernel blocked
+    substitution kernels (ops/pallas_dense_ds): TPU float64 only, and
+    only when the Pallas path is live.  The explicit-inverse GEMM path
+    remains selectable (Settings.dense_solve="inverse") for A/B
+    comparison and as the fallback everywhere else."""
+    if settings.dense_solve == "inverse":
+        return False
+    if settings.block != 128 or dtype != jnp.float64:
+        return False
+    if settings.pallas_leaf == "off":
+        return False
+    from .ops.pallas_dense_ds import dense_ds_available
+
+    return dense_ds_available()
+
+
+def _factor_dense(K, settings):
+    """Dense-path float64 factor: substitution form (prechunked
+    triangle + leaf inverses, in-kernel solves) on TPU, prechunked
+    explicit-inverse otherwise."""
+    if _use_subst(K.dtype, settings):
+        from .ops.ldl import ldl_factor_subst
+
+        return ldl_factor_subst(K, block=settings.block,
+                                use_pallas=settings.pallas_leaf)
+    fac = ldl_factor(K, block=settings.block,
+                     use_pallas=settings.pallas_leaf)
+    if K.dtype == jnp.float64:
+        # prechunk Linv once so the ~8 refined solves per iteration
+        # skip the per-call operand split/transpose/chunk work
+        # (no-op off-TPU)
+        fac = ldl_prechunk(fac)
+    return fac
+
+
+def _factor_in_dtype(K, settings):
     """Factor in ``settings.factor_dtype``.  float32 factors stay float32:
     the backsolves then run on the MXU at full rate (true mixed-precision
     iterative refinement — low-precision solve, float64 residual), instead
@@ -261,11 +297,8 @@ def _factor_in_dtype(K, settings) -> LDLFactors:
     if settings.factor_dtype == "float32":
         return ldl_factor(K.astype(jnp.float32), block=settings.block,
                           use_pallas=settings.pallas_leaf)
-    # float64 uses the double-single Pallas leaf on TPU (ops/ldl._leaf);
-    # prechunk Linv once so the ~8 refined solves per iteration skip the
-    # per-call operand split/transpose/chunk work (no-op off-TPU)
-    return ldl_prechunk(ldl_factor(K, block=settings.block,
-                                   use_pallas=settings.pallas_leaf))
+    # float64 uses the double-single Pallas leaf on TPU (ops/ldl._leaf)
+    return _factor_dense(K, settings)
 
 
 def _solve_padded(fac, rr):
@@ -947,12 +980,13 @@ def factor(st: ProblemStructure, ctx: KKTContext,
         else:
             K = _assemble_dense(st, ctx, H, ms, scal, scal_f, fdtype,
                                 settings)
-            fac = ldl_factor(K, block=settings.block,
-                             use_pallas=settings.pallas_leaf)
             if fdtype == jnp.float64:
-                # prechunk Linv once per factor: the refined solves run
-                # chunk-free (no-op off-TPU / non-ds paths)
-                fac = ldl_prechunk(fac)
+                # TPU: substitution form (in-kernel triangular solves,
+                # lane-tiled under vmap); otherwise prechunked inverse
+                fac = _factor_dense(K, settings)
+            else:
+                fac = ldl_factor(K, block=settings.block,
+                                 use_pallas=settings.pallas_leaf)
 
             def padded_solve(rr):
                 return ldl_solve(fac, rr)

@@ -65,6 +65,18 @@ class LDLFactorsPre(NamedTuple):
     d: jax.Array
 
 
+class LDLSubstFactors(NamedTuple):
+    """Substitution-form factor for the TPU float64 dense path: the
+    strictly-block-lower panels of L and the 128-block leaf inverses,
+    prechunked for the in-kernel blocked-substitution solve kernels
+    (ops/pallas_dense_ds).  Solves stream the TRIANGLE once per pass
+    instead of the dense inverse twice — ~2x less HBM per refined
+    trip — and lane-tile under the solver's vmap (the round-4 verdict's
+    named fix for near-serial batched LPnetlib scaling)."""
+    pre: object      # pallas_dense_ds.DenseFacPre
+    d: jax.Array     # (D,) pivots
+
+
 def ldl_prechunk(fac: LDLFactors):
     """Prechunk a float64 factor for the TPU ds solve path; on any other
     path return it unchanged (ldl_solve accepts both)."""
@@ -159,12 +171,12 @@ def _leaf(K, use_pallas: bool):
         return Linv[0], d[0]
     if use_pallas and K.shape[-1] == 128 and K.dtype == jnp.float64:
         # double-single kernel: ~2^-48 factor AND unit-lower inverse in
-        # ONE launch (the inverse accumulates in-loop via the product
-        # form — no float64-emulated Newton-Schulz matmuls outside)
-        from .pallas_leaf_ds import leaf_ldl_pallas_ds
+        # ONE launch; under the solver's lane vmap the custom_vmap
+        # collapses the batch into the lane-tiled kernel (T_LEAF lanes
+        # per grid program) instead of a per-lane grid replay
+        from .pallas_leaf_ds import leaf_ldl_ds_one
 
-        _, d, Linv = leaf_ldl_pallas_ds(K[None])
-        return Linv[0], d[0]
+        return leaf_ldl_ds_one(K)
     L, d = _unblocked_ldl(K)
     return _unit_lower_inv(L), d
 
@@ -193,6 +205,66 @@ def _ldl_rec(K, block: int, use_pallas: bool, ds: bool = False):
     Linv = Linv.at[h:, :h].set(L21inv)
     Linv = Linv.at[h:, h:].set(L22inv)
     return Linv, jnp.concatenate([d1, d2])
+
+
+def _ldl_rec_subst(K, block: int, use_pallas: bool, ds: bool = False):
+    """_ldl_rec that ALSO assembles the strictly-block-lower panels of
+    L (the substitution-solve operand).  Kept separate from _ldl_rec so
+    the inverse-only consumers (float32 path, CPU, "inverse" knob) pay
+    no assembly scatters.  L21/d are the SAME values _ldl_rec computes
+    (the Linv assembly does not feed them), so the factor is
+    bit-identical; only the solve arithmetic downstream changes."""
+    D = K.shape[-1]
+    if D <= block:
+        Linv, d = _leaf(K, use_pallas)
+        return Linv, jnp.zeros_like(K), d
+
+    nb = D // block
+    h = (nb // 2) * block
+    K11 = K[:h, :h]
+    K21 = K[h:, :h]
+    K22 = K[h:, h:]
+
+    L11inv, Lo1, d1 = _ldl_rec_subst(K11, block, use_pallas, ds)
+    L21 = _mm(K21, L11inv.T, ds) / d1[None, :]
+    K22s = K22 - _mm(L21 * d1[None, :], L21.T, ds)
+    L22inv, Lo2, d2 = _ldl_rec_subst(K22s, block, use_pallas, ds)
+    L21inv = -_mm(L22inv, _mm(L21, L11inv, ds), ds)
+    Linv = jnp.zeros_like(K)
+    Linv = Linv.at[:h, :h].set(L11inv)
+    Linv = Linv.at[h:, :h].set(L21inv)
+    Linv = Linv.at[h:, h:].set(L22inv)
+    Loff = jnp.zeros_like(K)
+    Loff = Loff.at[:h, :h].set(Lo1)
+    Loff = Loff.at[h:, :h].set(L21)
+    Loff = Loff.at[h:, h:].set(Lo2)
+    return Linv, Loff, jnp.concatenate([d1, d2])
+
+
+def ldl_factor_subst(K, block: int = 128,
+                     use_pallas: str = "off") -> LDLSubstFactors:
+    """Factor padded symmetric K into the prechunked SUBSTITUTION form
+    (LDLSubstFactors) consumed by the in-kernel dense solves.  Same
+    recursion (and bit-identical L, d) as ldl_factor; the unit-lower
+    inverse is still formed internally (the recursion needs L11inv to
+    form L21 without sequential triangular solves) but only its
+    128-block DIAGONAL blocks — the leaf inverses — ship to the solve
+    kernels."""
+    D = K.shape[-1]
+    assert D % block == 0 and block == 128, (D, block)
+    from .pallas_leaf import pallas_available
+
+    ok = pallas_available() and K.dtype in (jnp.float32, jnp.float64)
+    pallas = ok and use_pallas in ("on", "auto")
+    ds = _use_ds_gemm(K.dtype) and use_pallas in ("on", "auto")
+    with jax.default_matmul_precision("highest"):
+        Linv, Loff, d = _ldl_rec_subst(K, block, pallas, ds)
+    nb = D // block
+    Xinv = jnp.stack([Linv[i * block:(i + 1) * block,
+                           i * block:(i + 1) * block] for i in range(nb)])
+    from .pallas_dense_ds import prechunk_dense
+
+    return LDLSubstFactors(pre=prechunk_dense(Loff, Xinv, d), d=d)
 
 
 def ldl_factor(K, block: int = 128, use_pallas: str = "off") -> LDLFactors:
@@ -226,6 +298,16 @@ def ldl_solve(fac: LDLFactors, rhs):
     the 128-column panel a column-form product would pad to."""
     single = rhs.ndim == 1
     x = rhs[:, None] if single else rhs
+    if isinstance(fac, LDLSubstFactors):
+        from .pallas_band_ds import KP
+        from .pallas_dense_ds import dense_solve_ds
+
+        k = x.shape[1]
+        Dp = x.shape[0]
+        assert k <= KP, (k, KP)
+        rhs_t = jnp.zeros((KP, Dp), x.dtype).at[:k].set(x.T)
+        out = dense_solve_ds(fac.pre, rhs_t)[:k].T
+        return out[:, 0] if single else out
     if isinstance(fac, LDLFactorsPre):
         t = fac.pre_t.rmatmul(x.T) / fac.d[None, :]
         x = fac.pre_n.rmatmul(t).T

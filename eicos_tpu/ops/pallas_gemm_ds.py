@@ -235,7 +235,7 @@ def _gemv_call(R: int, kp: int, npad: int):
     return jax.jit(call)
 
 
-def matmul_ds(a, bmat):
+def _matmul_ds_impl(a, bmat):
     """General float64 ``a @ bmat`` through the double-single chunk
     kernel: both operands split to (hi, lo) f32 pairs per call, the
     kernel streams them once from HBM.  For mid-size f64 GEMMs (the
@@ -265,6 +265,147 @@ def matmul_ds(a, bmat):
     out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
     out = out.transpose(1, 0, 2).reshape(R, npad)
     return out[:r, :n]
+
+
+# --------------------- lane-tiled batched GEMM (both operands per-lane)
+# Under the solver's lane vmap the dense-LDL recursion's GEMMs carry
+# BOTH operands per lane; the auto-batched grid replays them serially
+# (round-4: batched LPnetlib at 1.11x from 16x the lanes).  The batched
+# kernel processes T lanes per grid program: the bf16 chunk
+# decompositions and TwoSum folds widen to (T, ., .) slabs (shared
+# issue slots) and the MXU dots batch over the lane axis — the same
+# lane-tiling that took the band factor 101 -> 38 ms/iter.
+
+def _make_bmm_kernel(T: int):
+    from .pallas_band_ds import _ds_matmul_b
+
+    def kern(ah_ref, al_ref, bh_ref, bl_ref, oh_ref, ol_ref):
+        Kp = ah_ref.shape[-1]
+        nk = Kp // B
+        RB_ = ah_ref.shape[-2]
+
+        def step(k, acc):
+            ach, acl = acc
+            Ah = ah_ref[:, :, pl.ds(k * B, B)]
+            Al = al_ref[:, :, pl.ds(k * B, B)]
+            Bh = bh_ref[:, pl.ds(k * B, B), :]
+            Bl = bl_ref[:, pl.ds(k * B, B), :]
+            ph, plo = _ds_matmul_b(Ah, Al, Bh, Bl, T, transpose_b=False)
+            return ds_add(ach, acl, ph, plo)
+
+        zero = jnp.zeros((T, RB_, B), jnp.float32)
+        oh, ol = _fori32(nk, step, (zero, zero))
+        oh_ref[...] = oh.reshape(oh_ref.shape)
+        ol_ref[...] = ol.reshape(ol_ref.shape)
+
+    return kern
+
+
+def _pick_t_bmm(L: int, kp: int, RB: int) -> int:
+    best = 1
+    for T in (2, 4, 8):
+        vmem = 2 * 2 * T * (RB * kp + kp * B) * 4 * 2 + 6 * T * RB * B * 4
+        if vmem >= 80 * 2 ** 20:
+            break
+        if L % T == 0 or L > 2 * T:
+            best = T
+    return best
+
+
+@functools.lru_cache(maxsize=256)
+def _bmm_call(Lp: int, T: int, R: int, kp: int, npad: int,
+              interpret: bool = False):
+    nn = npad // B
+    RB = min(R, RB_MAX)
+    assert R % RB == 0 and Lp % T == 0, (R, RB, Lp, T)
+    nr = R // RB
+    spec_a = pl.BlockSpec((T, RB, kp), lambda t, j, r: (t, r, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((T, kp, B), lambda t, j, r: (t, 0, j),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((T, 1, RB, B), lambda t, j, r: (t, j, r, 0),
+                          memory_space=pltpu.VMEM)
+    vmem = 2 * 2 * T * (RB * kp + kp * B) * 4 * 2 + 6 * T * RB * B * 4
+    params = {}
+    if vmem > 12 * 2 ** 20:
+        params = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20))
+
+    def call(ah, al, bh, bl):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                _make_bmm_kernel(T),
+                grid=(Lp // T, nn, nr),
+                in_specs=[spec_a, spec_a, spec_b, spec_b],
+                out_specs=(spec_o, spec_o),
+                out_shape=(jax.ShapeDtypeStruct((Lp, nn, nr * RB, B),
+                                                jnp.float32),) * 2,
+                interpret=interpret,
+                **params,
+            )(ah, al, bh, bl)
+
+    return jax.jit(call)
+
+
+_BMM_INTERPRET = False   # tests flip this for the interpreter
+
+
+def _bmatmul_ds(a3, b3):
+    """Lane-batched float64 ``a @ b``: (L, r, k) x (L, k, n) ->
+    (L, r, n), T lanes per grid program.  Same per-lane chunk
+    arithmetic as _matmul_ds_impl's kernel (the batched dots compute
+    the per-lane products; folds are elementwise)."""
+    L, r, k = a3.shape
+    L2, k2, n = b3.shape
+    assert L == L2 and k == k2, (a3.shape, b3.shape)
+    if r == 0 or n == 0 or k == 0:
+        return jnp.zeros((L, r, n), a3.dtype)
+    kp = -(-max(k, 1) // B) * B
+    npad = -(-max(n, 1) // B) * B
+    R = -(-max(r, 1) // KP) * KP
+    if R > RB_MAX:
+        R = -(-R // RB_MAX) * RB_MAX
+    T = _pick_t_bmm(L, kp, min(R, RB_MAX))
+    Lp = -(-L // T) * T
+    ap = jnp.zeros((Lp, R, kp), a3.dtype).at[:L, :r, :k].set(a3)
+    bp = jnp.zeros((Lp, kp, npad), b3.dtype).at[:L, :k, :n].set(b3)
+    ah = ap.astype(jnp.float32)
+    al = (ap - ah.astype(jnp.float64)).astype(jnp.float32)
+    bh = bp.astype(jnp.float32)
+    bl = (bp - bh.astype(jnp.float64)).astype(jnp.float32)
+    oh, ol = _bmm_call(Lp, T, R, kp, npad, _BMM_INTERPRET)(ah, al, bh, bl)
+    out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+    out = out.transpose(0, 2, 1, 3).reshape(Lp, R, npad)
+    return out[:L, :r, :n]
+
+
+try:  # pragma: no cover - custom_batching present in all supported jax
+    from jax import custom_batching as _cbg
+
+    @_cbg.custom_vmap
+    def matmul_ds(a, bmat):
+        """float64 ``a @ bmat`` via the double-single chunk kernel (see
+        _matmul_ds_impl).  Under vmap: both-batched operands collapse
+        into the lane-tiled batched kernel; a shared right operand
+        collapses the lane axis into kernel rows (exact — each output
+        row is an independent contraction)."""
+        return _matmul_ds_impl(a, bmat)
+
+    @matmul_ds.def_vmap
+    def _matmul_ds_vmap(axis_size, in_batched, a3, b3):
+        a_b, b_b = in_batched
+        if a_b and b_b and a3.ndim == 3:
+            return _bmatmul_ds(a3, b3), True
+        if a_b and not b_b and a3.ndim == 3:
+            L, r, k = a3.shape
+            out = _matmul_ds_impl(a3.reshape(L * r, k), b3)
+            return out.reshape(L, r, out.shape[-1]), True
+        out = jax.vmap(_matmul_ds_impl,
+                       in_axes=(0 if a_b else None,
+                                0 if b_b else None))(a3, b3)
+        return out, True
+except Exception:  # pragma: no cover
+    matmul_ds = _matmul_ds_impl
 
 
 def gemv_ds_available() -> bool:

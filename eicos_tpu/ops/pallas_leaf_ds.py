@@ -192,6 +192,100 @@ def _pallas_call_ds(nb, interpret=False):
     )
 
 
+# ------------------- lane-tiled leaf (the solver's vmap path) ----------
+# The dense-LDL recursion calls the leaf once per 128-block; under the
+# solver's lane vmap the (nb=1) kernel replays per lane with (P, B)
+# panel ops that are ISSUE-bound (2 vregs each) — the same saturation
+# wall the band factor hit before its lane tiling.  T_LEAF lanes per
+# grid program widen every panel op to a (T, P, B) slab; arithmetic is
+# identical per lane (_leaf_eliminate_blocked_b is the same code the
+# single-lane kernel runs at T = 1), so outputs are bit-identical.
+
+T_LEAF = 16
+
+
+def _make_leaf_tiled(T: int):
+    def kern(mh_ref, ml_ref, dh_ref, dl_ref, xh_ref, xl_ref):
+        from .pallas_band_ds import _leaf_eliminate_blocked_b
+
+        (dh, dl), (Xh, Xl) = _leaf_eliminate_blocked_b(mh_ref[...],
+                                                       ml_ref[...])
+        dh_ref[...] = jnp.broadcast_to(dh, (T, 8, B))
+        dl_ref[...] = jnp.broadcast_to(dl, (T, 8, B))
+        xh_ref[...] = Xh
+        xl_ref[...] = Xl
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _leaf_ds_batch(Ms, T: int = T_LEAF, interpret: bool = False):
+    """(L, B, B) float64 leaves -> (Linv (L, B, B), d (L, B)) float64,
+    T lanes per grid program.  Lanes pad to a multiple of T with
+    identity blocks (finite pivots)."""
+    L = Ms.shape[0]
+    assert Ms.shape[1:] == (B, B) and Ms.dtype == jnp.float64, Ms.shape
+    Lp = -(-L // T) * T
+    if Lp != L:
+        eye = jnp.broadcast_to(jnp.eye(B, dtype=Ms.dtype),
+                               (Lp - L, B, B))
+        Ms = jnp.concatenate([Ms, eye], axis=0)
+    hi = Ms.astype(jnp.float32)
+    lo = (Ms - hi.astype(jnp.float64)).astype(jnp.float32)
+    spec_bb = pl.BlockSpec((T, B, B), lambda t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((T, 8, B), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        dh, dl, Xh, Xl = pl.pallas_call(
+            _make_leaf_tiled(T),
+            grid=(Lp // T,),
+            in_specs=[spec_bb, spec_bb],
+            out_specs=(spec_d, spec_d, spec_bb, spec_bb),
+            out_shape=(
+                jax.ShapeDtypeStruct((Lp, 8, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, 8, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, B, B), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, B, B), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # the T-wide leaf temporaries exceed the 16 MB default
+                # scoped budget (the chip has 128 MB)
+                vmem_limit_bytes=None if T <= 4 else 100 * 2 ** 20),
+            interpret=interpret,
+        )(hi, lo)
+    d = dh[:L, 0].astype(jnp.float64) + dl[:L, 0].astype(jnp.float64)
+    Linv = Xh[:L].astype(jnp.float64) + Xl[:L].astype(jnp.float64)
+    return Linv, d
+
+
+try:  # pragma: no cover - custom_batching present in all supported jax
+    from jax import custom_batching as _cbl
+
+    @_cbl.custom_vmap
+    def leaf_ldl_ds_one(K):
+        """(B, B) float64 leaf -> (Linv, d) float64 via the fused
+        double-single kernel.  Under the solver's lane vmap the batch
+        collapses into the lane-tiled kernel (T_LEAF lanes per grid
+        program) instead of replaying per lane."""
+        _, d, Linv = leaf_ldl_pallas_ds(K[None])
+        return Linv[0], d[0]
+
+    @leaf_ldl_ds_one.def_vmap
+    def _leaf_one_vmap(axis_size, in_batched, Ks):
+        if in_batched[0] and Ks.ndim == 3:
+            out = _leaf_ds_batch(Ks)
+        else:
+            out = jax.vmap(
+                lambda K: leaf_ldl_pallas_ds(K[None])[1:])(Ks)
+            out = (out[1], out[0])
+        return out, (True, True)
+except Exception:  # pragma: no cover
+    def leaf_ldl_ds_one(K):
+        _, d, Linv = leaf_ldl_pallas_ds(K[None])
+        return Linv[0], d[0]
+
+
 def pallas_ds_available() -> bool:
     if not _HAS_PALLAS:
         return False

@@ -81,6 +81,14 @@ class Settings:
     # header note).  Affects rounding at ~2^-49: lane-level exit flips
     # are absorbed by the exit-time f64 recheck + rescue protocol.
     chunk_store: str = "bf16"
+    # dense-path (reduced/normal/full) float64 solve engine on TPU:
+    # "auto" = in-kernel blocked SUBSTITUTION against the prechunked
+    # triangular factor (ops/pallas_dense_ds — streams the triangle
+    # once per pass, lane-tiles under vmap); "inverse" = the explicit
+    # L^{-1} two-GEMM solves (the pre-round-5 path, kept for A/B and
+    # as the off-TPU fallback).  "subst" forces the kernel path (it
+    # still requires a TPU backend to take effect).
+    dense_solve: str = "auto"
 
     def __post_init__(self):
         # Fail loudly on misconfiguration: downstream dispatch compares
@@ -92,6 +100,7 @@ class Settings:
             "pallas_leaf": ("auto", "on", "off"),
             "band_gemm": ("float64", "float32"),
             "chunk_store": ("bf16", "i8"),
+            "dense_solve": ("auto", "subst", "inverse"),
         }
         for field, allowed in _check.items():
             value = getattr(self, field)
