@@ -31,6 +31,10 @@ ALL = ["lp_afiro", "lp_adlittle", "lp_blend", "lp_beaconfd", "lp_bandm",
 
 
 def run_batched(args):
+    """Batched lanes-scaling measurement (the round-4/5 verdict's
+    auditable artifact): every problem at every lane count in
+    ``--batch``, per-lane exit tiers, rescued-lane indices, and the
+    scaling factor vs the 1-lane row computed IN the file."""
     import jax
     from eicos_tpu import corpus
     from eicos_tpu.api import BatchedSolver
@@ -41,48 +45,67 @@ def run_batched(args):
     rescue = (Settings(kkt_strategy=args.strategy,
                        factor_dtype="float64")
               if args.rescue else None)
-    N = args.batch
-    rng = np.random.default_rng(17)
+    lane_counts = [int(v) for v in str(args.batch).split(",")]
     rows = []
     print(f"{'problem':14s} {'lanes':>5s} {'optimal':>7s} "
-          f"{'batch_s':>8s} {'solves/s':>9s} {'1-lane eq.':>10s}")
+          f"{'batch_s':>8s} {'solves/s':>9s} {'1-lane eq.':>10s} "
+          f"{'scaling':>8s} {'rescued':>8s}")
     for name in args.problems.split(","):
         st, prob, expected = corpus.load(name)
         st = st.with_gsplit(prob.G, prob.A)
-        probs = []
-        for _ in range(N):
-            c = (np.asarray(prob.c)
-                 * (1.0 + 0.01 * rng.standard_normal(st.n)))
-            probs.append(prob.__class__(G=prob.G, A=prob.A, c=c,
-                                        h=prob.h, b=prob.b))
-        shared = ("G", "A", "h", "b")
-        batch = BatchedSolver.stack(probs, shared=shared)
-        bs = BatchedSolver(st, settings, shared=shared,
-                           rescue=rescue)
-        sols = bs.solve(batch)  # compile + warm
-        codes = np.asarray(jax.device_get(sols.exit_code))
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            sols = bs.solve(batch)
-            float(jax.device_get(sols.x[0, 0]))
-            ts.append(time.time() - t0)
-        el = min(ts)
-        n_ok = int(np.sum(codes == 0))
-        rate = N / el
-        print(f"{name:14s} {N:5d} {n_ok:3d}/{N:<3d} {el:8.2f} "
-              f"{rate:9.2f} {el / N * 1e3:8.1f}ms")
-        rows.append(dict(problem=name, lanes=N, optimal=n_ok,
-                         batch_s=round(el, 3),
-                         solves_per_sec=round(rate, 3)))
+        base_rate = None
+        for N in lane_counts:
+            rng = np.random.default_rng(17)  # same seeds at every N:
+            # lane i's instance is identical across lane counts, so
+            # tier differences between rows are batch effects, not data
+            probs = []
+            for _ in range(N):
+                c = (np.asarray(prob.c)
+                     * (1.0 + 0.01 * rng.standard_normal(st.n)))
+                probs.append(prob.__class__(G=prob.G, A=prob.A, c=c,
+                                            h=prob.h, b=prob.b))
+            shared = ("G", "A", "h", "b")
+            batch = BatchedSolver.stack(probs, shared=shared)
+            bs = BatchedSolver(st, settings, shared=shared,
+                               rescue=rescue)
+            sols = bs.solve(batch)  # compile + warm
+            codes = np.asarray(jax.device_get(sols.exit_code))
+            rescued = [int(i) for i in bs.last_rescued]
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                sols = bs.solve(batch)
+                float(jax.device_get(sols.x[0, 0]))
+                ts.append(time.time() - t0)
+            el = min(ts)
+            n_ok = int(np.sum(codes == 0))
+            rate = N / el
+            if N == 1:
+                base_rate = rate
+            scaling = (rate / base_rate) if base_rate else float("nan")
+            print(f"{name:14s} {N:5d} {n_ok:3d}/{N:<3d} {el:8.2f} "
+                  f"{rate:9.2f} {el / N * 1e3:8.1f}ms {scaling:8.2f} "
+                  f"{len(rescued):8d}")
+            rows.append(dict(
+                problem=name, lanes=N, optimal=n_ok,
+                batch_s=round(el, 3), solves_per_sec=round(rate, 3),
+                eff_ms_per_solve=round(el / N * 1e3, 1),
+                scaling_vs_1lane=(round(scaling, 3)
+                                  if scaling == scaling else None),
+                exit_codes=[int(cd) for cd in codes],
+                rescued_lanes=rescued))
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "baselines", "lpnetlib_batched.json")
     with open(out, "w") as f:
         json.dump(dict(settings=dict(strategy=args.strategy,
                                      factor_dtype=args.factor_dtype,
                                      backend=jax.default_backend(),
-                                     lanes=N,
+                                     lanes=lane_counts,
+                                     rescue=bool(args.rescue),
                                      pattern="shared G/A/h/b, perturbed c"),
+                       note=("scaling_vs_1lane = solves_per_sec / the "
+                             "1-lane row's rate (requires 1 in --batch); "
+                             "exit codes are POST-rescue tiers"),
                        rows=rows), f, indent=1)
     print(f"\nwrote {out}")
 
@@ -96,8 +119,10 @@ def main():
     ap.add_argument("--rescue", action="store_true",
                     help="batched runs: re-solve non-OPTIMAL lanes on the\n"
                          "float64 reduced path (cost lands in the timed loop)")
-    ap.add_argument("--batch", type=int, default=0,
-                    help="lanes for the batched measurement (0 = table)")
+    ap.add_argument("--batch", type=str, default="",
+                    help="comma list of lane counts for the batched "
+                         "scaling measurement, e.g. 1,4,16 "
+                         "(empty = single-lane table)")
     args = ap.parse_args()
 
     import jax
