@@ -183,20 +183,30 @@ def _make_dense_fwd(T: int, nb: int, nch: int = _NCHUNK):
                         jnp.broadcast_to(dl, (T, KP, B)))
         _wr(wh_ref, wh)
         _wr(wl_ref, wl)
-        # rhs -= y_k @ Lcol_k' : one (T, KP, Dp)-wide product; panel
-        # rows <= (k+1)B are zero by construction, so the full-width
-        # subtract touches already-eliminated slabs with exact zeros
+        # rhs -= y_k @ Lcol_k' : the (T, KP, Dp)-wide product runs in
+        # <= 8-slab output chunks — one full-width dot's level
+        # intermediates (~34*KP rows x Dp f32 per lane) would blow the
+        # scoped-VMEM stack at large Dp.  Panel rows <= (k+1)B are zero
+        # by construction, so the subtract touches already-eliminated
+        # slabs with exact zeros.
         lc = lc_ref[...].reshape(T, nch * Dp, B)
-        uh, ul = _ds_matmul_pre_b(
-            yh, yl, lambda t: lc[:, t * Dp:(t + 1) * Dp],
-            ls_ref[...].reshape(T, 8, Dp)[:, 0:1, :], T, transpose_b=True)
-        for s in range(nb):
-            rh = _bT(c_rh[s * T * KP:(s + 1) * T * KP, :], T)
-            rl = _bT(c_rl[s * T * KP:(s + 1) * T * KP, :], T)
-            nh, nl = ds_add(rh, rl, -uh[:, :, s * B:(s + 1) * B],
-                            -ul[:, :, s * B:(s + 1) * B])
-            c_rh[s * T * KP:(s + 1) * T * KP, :] = nh.reshape(T * KP, B)
-            c_rl[s * T * KP:(s + 1) * T * KP, :] = nl.reshape(T * KP, B)
+        ls = ls_ref[...].reshape(T, 8, Dp)
+        for w0 in range(0, nb, 8):
+            w1 = min(w0 + 8, nb)
+            uh, ul = _ds_matmul_pre_b(
+                yh, yl,
+                lambda t: lc[:, t * Dp + w0 * B:t * Dp + w1 * B],
+                ls[:, 0:1, w0 * B:w1 * B], T, transpose_b=True)
+            for s in range(w0, w1):
+                rh = _bT(c_rh[s * T * KP:(s + 1) * T * KP, :], T)
+                rl = _bT(c_rl[s * T * KP:(s + 1) * T * KP, :], T)
+                o = (s - w0) * B
+                nh, nl = ds_add(rh, rl, -uh[:, :, o:o + B],
+                                -ul[:, :, o:o + B])
+                c_rh[s * T * KP:(s + 1) * T * KP, :] = nh.reshape(T * KP,
+                                                                  B)
+                c_rl[s * T * KP:(s + 1) * T * KP, :] = nl.reshape(T * KP,
+                                                                  B)
 
     return kern
 
@@ -250,10 +260,11 @@ def _pick_t(L: int, Dp: int) -> int:
     best = 1
     for T in (2, 4, 8):
         vmem = (2 * T * _NCHUNK * Dp * B * 2  # dbuf'd lc column (bf16)
-                + 2 * T * KP * Dp * 4 * 2     # rhs input pair (fwd)
-                + 2 * (Dp // B) * T * KP * B * 4 * 2   # scratch pairs
-                + 6 * T * KP * Dp * 4)        # u/value headroom
-        if vmem >= 88 * 2 ** 20:
+                + 4 * T * KP * Dp * 4         # rhs input pair (fwd)
+                + 4 * T * KP * Dp * 4         # rhs/z scratch pairs
+                + 34 * KP * 8 * B * T * 4     # u-chunk level dots
+                + 4 * 2 ** 20 * T)            # value headroom
+        if vmem >= 90 * 2 ** 20:
             break
         if L % T == 0 or L > 2 * T:
             best = T
@@ -317,11 +328,12 @@ def _dense_solve_batch(pre: DenseFacPre, rhs_t, T: int,
                            lambda t, k: (t, nb - 1 - k, 0, 0),
                            memory_space=pltpu.VMEM)
     out_sh = (jax.ShapeDtypeStruct((Lp, nb, KP, B), jnp.float32),) * 2
-    params = dict(dimension_semantics=("arbitrary", "arbitrary"))
-    vmem = 2 * (T * _NCHUNK * Dp * B * 2 + T * KP * Dp * 8)
-    if vmem > 12 * 2 ** 20:
-        params["vmem_limit_bytes"] = 110 * 2 ** 20
-    arb = pltpu.CompilerParams(**params)
+    # always raise the scoped budget: the wide per-step update's level
+    # dots allocate ~34*KP rows x Dp of f32 intermediates per lane,
+    # past the 16 MB default at modest (T, Dp)
+    arb = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=110 * 2 ** 20)
     scr = [pltpu.VMEM((nb * T * KP, B), jnp.float32)] * 2
     with jax.enable_x64(False):
         wh, wl = pl.pallas_call(

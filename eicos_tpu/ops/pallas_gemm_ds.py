@@ -325,11 +325,12 @@ def _bmm_call(Lp: int, T: int, R: int, kp: int, npad: int,
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((T, 1, RB, B), lambda t, j, r: (t, j, r, 0),
                           memory_space=pltpu.VMEM)
-    vmem = 2 * 2 * T * (RB * kp + kp * B) * 4 * 2 + 6 * T * RB * B * 4
-    params = {}
-    if vmem > 12 * 2 ** 20:
-        params = dict(compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2 ** 20))
+    # always raise the scoped budget: the in-kernel level-dot
+    # intermediates (prods: ~34*B rows of f32 per lane) blow the 16 MB
+    # default even at T = 8 with (128, 128) blocks — measured as a
+    # compile-time scoped-vmem OOM on lp_agg at 16 lanes
+    params = dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 2 ** 20))
 
     def call(ah, al, bh, bl):
         with jax.enable_x64(False):

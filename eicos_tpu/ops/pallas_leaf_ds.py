@@ -219,11 +219,14 @@ def _make_leaf_tiled(T: int):
 
 
 @functools.partial(jax.jit, static_argnames=("T", "interpret"))
-def _leaf_ds_batch(Ms, T: int = T_LEAF, interpret: bool = False):
+def _leaf_ds_batch(Ms, T: int | None = None, interpret: bool = False):
     """(L, B, B) float64 leaves -> (Linv (L, B, B), d (L, B)) float64,
-    T lanes per grid program.  Lanes pad to a multiple of T with
-    identity blocks (finite pivots)."""
+    T lanes per grid program.  T adapts to the lane count (padding a
+    1-lane call to T_LEAF = 16 would run 16x the leaf work); lanes pad
+    to a multiple of T with identity blocks (finite pivots)."""
     L = Ms.shape[0]
+    if T is None:
+        T = max(t for t in (1, 2, 4, 8, T_LEAF) if t <= L)
     assert Ms.shape[1:] == (B, B) and Ms.dtype == jnp.float64, Ms.shape
     Lp = -(-L // T) * T
     if Lp != L:
@@ -251,7 +254,7 @@ def _leaf_ds_batch(Ms, T: int = T_LEAF, interpret: bool = False):
             compiler_params=pltpu.CompilerParams(
                 # the T-wide leaf temporaries exceed the 16 MB default
                 # scoped budget (the chip has 128 MB)
-                vmem_limit_bytes=None if T <= 4 else 100 * 2 ** 20),
+                vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
         )(hi, lo)
     d = dh[:L, 0].astype(jnp.float64) + dl[:L, 0].astype(jnp.float64)
