@@ -207,17 +207,27 @@ def _ldl_rec(K, block: int, use_pallas: bool, ds: bool = False):
     return Linv, jnp.concatenate([d1, d2])
 
 
-def _ldl_rec_subst(K, block: int, use_pallas: bool, ds: bool = False):
-    """_ldl_rec that ALSO assembles the strictly-block-lower panels of
-    L (the substitution-solve operand).  Kept separate from _ldl_rec so
-    the inverse-only consumers (float32 path, CPU, "inverse" knob) pay
-    no assembly scatters.  L21/d are the SAME values _ldl_rec computes
-    (the Linv assembly does not feed them), so the factor is
-    bit-identical; only the solve arithmetic downstream changes."""
+def _ldl_rec_subst(K, block: int, use_pallas: bool, ds: bool = False,
+                   need_inv: bool = False):
+    """_ldl_rec that assembles the strictly-block-lower panels of L
+    (the substitution-solve operand) and the 128-block leaf inverses,
+    materializing the FULL unit-lower inverse only where the recursion
+    actually consumes it.  Need-propagation: a node's Linv feeds (a)
+    its parent's L21 product when the node is a LEFT child — always —
+    and (b) its parent's own Linv assembly — only if the parent's Linv
+    is itself needed.  The root's Linv feeds nothing (the solve kernels
+    take panels + leaf inverses), so the root and the whole right spine
+    skip their assembly GEMMs: ~86% of the inverse-assembly flops,
+    ~40% of the factor (measured: the batched factor is GEMM-rate-bound
+    at the double-single fold rate).  L21/Schur/d are untouched, so the
+    FACTOR is bit-identical to ldl_factor's; the leaf-inverse diagonal
+    blocks are read before any assembly writes, so Xinv is too.
+
+    Returns (Linv | None, Xdiag (D/block, B, B), Loff, d)."""
     D = K.shape[-1]
     if D <= block:
         Linv, d = _leaf(K, use_pallas)
-        return Linv, jnp.zeros_like(K), d
+        return Linv, Linv[None], jnp.zeros_like(K), d
 
     nb = D // block
     h = (nb // 2) * block
@@ -225,31 +235,36 @@ def _ldl_rec_subst(K, block: int, use_pallas: bool, ds: bool = False):
     K21 = K[h:, :h]
     K22 = K[h:, h:]
 
-    L11inv, Lo1, d1 = _ldl_rec_subst(K11, block, use_pallas, ds)
+    L11inv, X1, Lo1, d1 = _ldl_rec_subst(K11, block, use_pallas, ds,
+                                         need_inv=True)
     L21 = _mm(K21, L11inv.T, ds) / d1[None, :]
     K22s = K22 - _mm(L21 * d1[None, :], L21.T, ds)
-    L22inv, Lo2, d2 = _ldl_rec_subst(K22s, block, use_pallas, ds)
+    L22inv, X2, Lo2, d2 = _ldl_rec_subst(K22s, block, use_pallas, ds,
+                                         need_inv=need_inv)
+    Xdiag = jnp.concatenate([X1, X2])
+    Loff = jnp.zeros_like(K)
+    Loff = Loff.at[:h, :h].set(Lo1)
+    Loff = Loff.at[h:, :h].set(L21)
+    Loff = Loff.at[h:, h:].set(Lo2)
+    d = jnp.concatenate([d1, d2])
+    if not need_inv:
+        return None, Xdiag, Loff, d
     L21inv = -_mm(L22inv, _mm(L21, L11inv, ds), ds)
     Linv = jnp.zeros_like(K)
     Linv = Linv.at[:h, :h].set(L11inv)
     Linv = Linv.at[h:, :h].set(L21inv)
     Linv = Linv.at[h:, h:].set(L22inv)
-    Loff = jnp.zeros_like(K)
-    Loff = Loff.at[:h, :h].set(Lo1)
-    Loff = Loff.at[h:, :h].set(L21)
-    Loff = Loff.at[h:, h:].set(Lo2)
-    return Linv, Loff, jnp.concatenate([d1, d2])
+    return Linv, Xdiag, Loff, d
 
 
 def ldl_factor_subst(K, block: int = 128,
                      use_pallas: str = "off") -> LDLSubstFactors:
     """Factor padded symmetric K into the prechunked SUBSTITUTION form
     (LDLSubstFactors) consumed by the in-kernel dense solves.  Same
-    recursion (and bit-identical L, d) as ldl_factor; the unit-lower
-    inverse is still formed internally (the recursion needs L11inv to
-    form L21 without sequential triangular solves) but only its
-    128-block DIAGONAL blocks — the leaf inverses — ship to the solve
-    kernels."""
+    elimination arithmetic (bit-identical L, d) as ldl_factor; the
+    unit-lower inverse is formed only for the left-spine subtrees whose
+    L21 products require it (see _ldl_rec_subst), and only the leaf
+    inverses ship to the solve kernels."""
     D = K.shape[-1]
     assert D % block == 0 and block == 128, (D, block)
     from .pallas_leaf import pallas_available
@@ -258,10 +273,7 @@ def ldl_factor_subst(K, block: int = 128,
     pallas = ok and use_pallas in ("on", "auto")
     ds = _use_ds_gemm(K.dtype) and use_pallas in ("on", "auto")
     with jax.default_matmul_precision("highest"):
-        Linv, Loff, d = _ldl_rec_subst(K, block, pallas, ds)
-    nb = D // block
-    Xinv = jnp.stack([Linv[i * block:(i + 1) * block,
-                           i * block:(i + 1) * block] for i in range(nb)])
+        _, Xinv, Loff, d = _ldl_rec_subst(K, block, pallas, ds)
     from .pallas_dense_ds import prechunk_dense
 
     return LDLSubstFactors(pre=prechunk_dense(Loff, Xinv, d), d=d)
