@@ -45,6 +45,13 @@ def run_batched(args):
     rescue = (Settings(kkt_strategy=args.strategy,
                        factor_dtype="float64")
               if args.rescue else None)
+    if rescue == settings:
+        # identical settings cannot improve a lane: the rescue pass
+        # would deterministically re-run the same solve on every
+        # non-OPTIMAL (possibly by-nature CLOSE_TO_OPTIMAL) lane in
+        # every timed round
+        print("rescue config equals primary; disabling rescue")
+        rescue = None
     lane_counts = [int(v) for v in str(args.batch).split(",")]
     rows = []
     print(f"{'problem':14s} {'lanes':>5s} {'optimal':>7s} "
