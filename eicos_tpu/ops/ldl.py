@@ -162,6 +162,30 @@ def _mm(a, b, ds: bool):
     return a @ b
 
 
+def _mm_sym(ad, bT, ds: bool, leaf: int = 256):
+    """``ad @ bT.T`` for a product that is symmetric in exact
+    arithmetic (the Schur term (L d) L'): computes only the lower block
+    triangle recursively and MIRRORS the strict upper — ~half the
+    MXU/fold work of the full product at large sizes.  The result is
+    exactly symmetric (the current full product is only symmetric up
+    to ~2^-48 ds rounding); the mirrored upper differs from the
+    directly-computed one at the same rounding level, which the f64
+    iterative refinement absorbs.  Used on the TPU ds path only so the
+    CPU/f64 reference paths stay bit-for-bit."""
+    if not ds:
+        return _mm(ad, bT.T, ds)
+    M = ad.shape[-2]
+    if M <= leaf:
+        return _mm(ad, bT.T, ds)
+    h = ((M // 128) // 2) * 128
+    P11 = _mm_sym(ad[:h], bT[:h], ds, leaf)
+    P21 = _mm(ad[h:], bT[:h].T, ds)
+    P22 = _mm_sym(ad[h:], bT[h:], ds, leaf)
+    top = jnp.concatenate([P11, P21.T], axis=1)
+    bot = jnp.concatenate([P21, P22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def _leaf(K, use_pallas: bool):
     """(block, block) leaf -> (Linv, d)."""
     if use_pallas and K.shape[-1] == 128 and K.dtype == jnp.float32:
@@ -238,7 +262,7 @@ def _ldl_rec_subst(K, block: int, use_pallas: bool, ds: bool = False,
     L11inv, X1, Lo1, d1 = _ldl_rec_subst(K11, block, use_pallas, ds,
                                          need_inv=True)
     L21 = _mm(K21, L11inv.T, ds) / d1[None, :]
-    K22s = K22 - _mm(L21 * d1[None, :], L21.T, ds)
+    K22s = K22 - _mm_sym(L21 * d1[None, :], L21, ds)
     L22inv, X2, Lo2, d2 = _ldl_rec_subst(K22s, block, use_pallas, ds,
                                          need_inv=need_inv)
     Xdiag = jnp.concatenate([X1, X2])
