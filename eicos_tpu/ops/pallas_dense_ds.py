@@ -108,16 +108,9 @@ def _row0(v, rows=8):
     return jnp.concatenate([v, pad], axis=-2)
 
 
-def prechunk_dense(Loff, Xinv, d) -> DenseFacPre:
-    """XLA-level chunk decomposition of a substitution factor.
-
-    ``Loff``: (Dp, Dp) float64 strictly-block-lower panels (128-block
-    diagonal blocks ZERO — their interiors live in ``Xinv``);
-    ``Xinv``: (nb, B, B) float64 leaf unit-lower inverses; ``d``:
-    (Dp,) float64 pivots.  Same _chunks_scaled arithmetic the solve
-    kernels would run in-VMEM; runs once per factorization (the ~8
-    refined solves per IPM iteration then stream chunks only).  Plain
-    elementwise XLA: batches cleanly under the solver's lane vmap."""
+def _prechunk_cols_xla(Loff):
+    """XLA reference implementation of the L-panel chunk decomposition
+    (both orientations).  Returns (lc1, ls1, lc0, ls0)."""
     Dp = Loff.shape[-1]
     nb = Dp // B
     nb8 = -(-nb // 8) * 8
@@ -133,6 +126,157 @@ def prechunk_dense(Loff, Xinv, d) -> DenseFacPre:
     lc0 = jnp.concatenate([c.reshape(nb, Dp, B) for c in c0], axis=1)
     ls0 = jnp.zeros((nb, nb8, B), jnp.float32).at[:, :nb].set(
         s0.reshape(nb, nb, B))
+    return lc1, ls1, lc0, ls0
+
+
+# ------------------------- in-kernel L-panel prechunk ------------------
+# The XLA chunk pass re-reads/writes the factor through ~10 unfused
+# elementwise stages (~2.5 ms/lane of an ~9 ms/lane bnl1 iteration);
+# one grid program per (lanes, column) chunks a (T, Dp, B) panel in
+# both orientations in a single VMEM pass.  Same _chunks_scaled float
+# ops — bit-identical chunk values (pinned by test).
+
+def _make_prechunk_kernel(T: int, nb: int, nch: int = _NCHUNK):
+    Dp = nb * B
+
+    def kern(lh_ref, ll_ref, lc1_ref, ls1_ref, lc0_ref, ls0_ref):
+        ch = lh_ref[...].reshape(T, Dp, B)
+        cl = ll_ref[...].reshape(T, Dp, B)
+        c1, s1 = _chunks_scaled(ch, cl, axis=2)      # s1 (T, Dp, 1)
+        _wr(lc1_ref, jnp.concatenate(c1, axis=1))
+        # transpose the (T, Dp, 1) scale to a (T, 1, Dp) row via
+        # per-slab masked reduces over the B x B identity
+        eye = (lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
+               == lax.broadcasted_iota(jnp.int32, (1, B, B), 2))
+        rows = []
+        for s in range(nb):
+            seg = s1[:, s * B:(s + 1) * B, :]        # (T, B, 1)
+            rows.append(jnp.sum(
+                jnp.where(eye, jnp.broadcast_to(seg, (T, B, B)), 0.0),
+                axis=1, keepdims=True))              # (T, 1, B)
+        srow = jnp.concatenate(rows, axis=2)         # (T, 1, Dp)
+        pad = jnp.zeros((T, 7, Dp), jnp.float32)
+        _wr(ls1_ref, jnp.concatenate([srow, pad], axis=1))
+        chunks0 = [[] for _ in range(nch)]
+        scales0 = []
+        for s in range(nb):
+            c0, s0 = _chunks_scaled(ch[:, s * B:(s + 1) * B, :],
+                                    cl[:, s * B:(s + 1) * B, :], axis=1)
+            for t in range(nch):
+                chunks0[t].append(c0[t])
+            scales0.append(s0)                       # (T, 1, B)
+        _wr(lc0_ref, jnp.concatenate(
+            [c for grp in chunks0 for c in grp], axis=1))
+        nb8 = ls0_ref.shape[-2]
+        sc = jnp.concatenate(
+            scales0 + [jnp.zeros((T, nb8 - nb, B), jnp.float32)], axis=1)
+        _wr(ls0_ref, sc)
+
+    return kern
+
+
+def _pick_t_pre(L: int, Dp: int) -> int:
+    best = 1
+    for T in (2, 4, 8):
+        vmem = (2 * T * Dp * B * 8            # dbuf'd input pair
+                + 2 * 2 * T * _NCHUNK * Dp * B * 2   # dbuf'd chunk outs
+                + 3 * T * Dp * B * 4)         # value headroom
+        if vmem >= 90 * 2 ** 20:
+            break
+        if L % T == 0 or L > 2 * T:
+            best = T
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _prechunk_cols_batch(Loff, T: int, interpret: bool = False):
+    """(L, Dp, Dp) float64 -> batched (lc1, ls1, lc0, ls0), T lanes per
+    grid program, one grid step per block column."""
+    L, Dp = Loff.shape[0], Loff.shape[-1]
+    nb = Dp // B
+    nb8 = -(-nb // 8) * 8
+    Lp = -(-L // T) * T
+    if Lp != L:
+        Loff = jnp.concatenate(
+            [Loff, jnp.zeros((Lp - L,) + Loff.shape[1:], Loff.dtype)],
+            axis=0)
+    lh, ll = _split64(Loff)
+    spec_in = pl.BlockSpec((T, Dp, B), lambda t, j: (t, 0, j),
+                           memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((T, 1, _NCHUNK * Dp, B),
+                          lambda t, j: (t, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s1 = pl.BlockSpec((T, 1, 8, Dp), lambda t, j: (t, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_s0 = pl.BlockSpec((T, 1, nb8, B), lambda t, j: (t, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _make_prechunk_kernel(T, nb),
+            grid=(Lp // T, nb),
+            in_specs=[spec_in, spec_in],
+            out_specs=(spec_c, spec_s1, spec_c, spec_s0),
+            out_shape=(
+                jax.ShapeDtypeStruct((Lp, nb, _NCHUNK * Dp, B),
+                                     jnp.bfloat16),
+                jax.ShapeDtypeStruct((Lp, nb, 8, Dp), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, nb, _NCHUNK * Dp, B),
+                                     jnp.bfloat16),
+                jax.ShapeDtypeStruct((Lp, nb, nb8, B), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=110 * 2 ** 20),
+            interpret=interpret,
+        )(lh, ll)
+    if Lp != L:
+        out = tuple(o[:L] for o in out)
+    return out
+
+
+_PRECHUNK_INTERPRET = False
+
+
+try:  # pragma: no cover - custom_batching present in all supported jax
+    from jax import custom_batching as _cbp
+
+    @_cbp.custom_vmap
+    def _prechunk_cols(Loff):
+        if dense_ds_available() or _PRECHUNK_INTERPRET:
+            out = _prechunk_cols_batch(Loff[None], T=1,
+                                       interpret=_PRECHUNK_INTERPRET)
+            return jax.tree_util.tree_map(lambda x: x[0], out)
+        return _prechunk_cols_xla(Loff)
+
+    @_prechunk_cols.def_vmap
+    def _prechunk_cols_vmap(axis_size, in_batched, Loff):
+        if in_batched[0] and Loff.ndim == 3 and (dense_ds_available()
+                                                 or _PRECHUNK_INTERPRET):
+            T = _pick_t_pre(Loff.shape[0], Loff.shape[-1])
+            out = _prechunk_cols_batch(Loff, T=T,
+                                       interpret=_PRECHUNK_INTERPRET)
+        else:
+            out = jax.vmap(_prechunk_cols_xla)(Loff)
+            return out, (True,) * 4
+        return out, (True,) * 4
+except Exception:  # pragma: no cover
+    _prechunk_cols = _prechunk_cols_xla
+
+
+def prechunk_dense(Loff, Xinv, d) -> DenseFacPre:
+    """Chunk decomposition of a substitution factor.
+
+    ``Loff``: (Dp, Dp) float64 strictly-block-lower panels (128-block
+    diagonal blocks ZERO — their interiors live in ``Xinv``);
+    ``Xinv``: (nb, B, B) float64 leaf unit-lower inverses; ``d``:
+    (Dp,) float64 pivots.  Same _chunks_scaled arithmetic the solve
+    kernels would run in-VMEM; runs once per factorization (the ~8
+    refined solves per IPM iteration then stream chunks only).  The
+    heavy L-panel part runs in the one-pass Pallas kernel on TPU
+    (bit-identical chunk values); the small Xinv/d parts stay XLA."""
+    Dp = Loff.shape[-1]
+    nb = Dp // B
+    lc1, ls1, lc0, ls0 = _prechunk_cols(Loff)
     xh, xl = _split64(Xinv)
     x1, sx1 = _chunks_scaled(xh, xl, axis=2)         # sx1 (nb, B, 1)
     xc1 = jnp.concatenate(x1, axis=1)                # (nb, nch*B, B)

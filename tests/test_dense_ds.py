@@ -137,6 +137,25 @@ def test_leaf_tiled_matches_single_bitwise():
                               np.asarray(Linv1[0])), i
 
 
+def test_prechunk_kernel_matches_xla_bitwise():
+    from eicos_tpu.ops import pallas_dense_ds as pd
+
+    rng = np.random.default_rng(6)
+    L, Dp = 3, 384
+    nb = Dp // 128
+    Loff = np.zeros((L, Dp, Dp))
+    for j in range(nb):
+        lo = (j + 1) * 128
+        Loff[:, lo:, j * 128:(j + 1) * 128] = rng.standard_normal(
+            (L, Dp - lo, 128)) * 10.0 ** rng.integers(-6, 6, size=(L, 1, 1))
+    Loff = jnp.asarray(Loff)
+    ref = jax.vmap(pd._prechunk_cols_xla)(Loff)
+    out = pd._prechunk_cols_batch(Loff, T=2, interpret=True)
+    for r, o in zip(ref, out):
+        assert r.shape == o.shape, (r.shape, o.shape)
+        assert np.array_equal(np.asarray(r), np.asarray(o))
+
+
 def test_kkt_dense_subst_gating_off_cpu():
     # on the CPU backend the subst path must not engage ("auto" falls
     # back to the inverse path), keeping existing behavior intact
