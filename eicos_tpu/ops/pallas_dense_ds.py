@@ -168,9 +168,9 @@ def _make_prechunk_kernel(T: int, nb: int, nch: int = _NCHUNK):
         _wr(lc0_ref, jnp.concatenate(
             [c for grp in chunks0 for c in grp], axis=1))
         nb8 = ls0_ref.shape[-2]
-        sc = jnp.concatenate(
-            scales0 + [jnp.zeros((T, nb8 - nb, B), jnp.float32)], axis=1)
-        _wr(ls0_ref, sc)
+        if nb8 > nb:  # zero-size concat operands break Mosaic
+            scales0.append(jnp.zeros((T, nb8 - nb, B), jnp.float32))
+        _wr(ls0_ref, jnp.concatenate(scales0, axis=1))
 
     return kern
 

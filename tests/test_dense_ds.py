@@ -141,7 +141,15 @@ def test_prechunk_kernel_matches_xla_bitwise():
     from eicos_tpu.ops import pallas_dense_ds as pd
 
     rng = np.random.default_rng(6)
-    L, Dp = 3, 384
+    # 1024 exercises nb % 8 == 0 (the zero-pad-free ls0 layout that
+    # once emitted a zero-size concat operand Mosaic rejects)
+    for L, Dp in ((3, 384), (2, 1024)):
+        _check_prechunk(rng, L, Dp)
+
+
+def _check_prechunk(rng, L, Dp):
+    from eicos_tpu.ops import pallas_dense_ds as pd
+
     nb = Dp // 128
     Loff = np.zeros((L, Dp, Dp))
     for j in range(nb):
