@@ -69,11 +69,18 @@ from .pallas_leaf_ds import (B, _fori32, _two_sum, _quick_renorm, ds_add,
 # 21 partials (levels s+t <= 5) fold into a double-single accumulator
 # with error-free TwoSum — ~2^-48 worst-case relative error overall.
 
+import os as _os
+
 _NCHUNK = 7          # 7 x 8 bits = 56 mantissa bits (> f64's 53)
-_NLEVEL = 8          # keep s + t <= 7 (dropped tail ~2^-64); the extra
-#                      chunk + level cut iterative-refinement rounds and
-#                      buy the interior-point endgame margin on outlier
-#                      lanes — measured
+_NLEVEL = int(_os.environ.get("EICOS_NLEVEL", "8"))
+#                      keep s + t <= _NLEVEL-1 (dropped tail ~2^-64 at
+#                      8); the extra chunk + level cut iterative-
+#                      refinement rounds and buy the interior-point
+#                      endgame margin on outlier lanes — measured.  The
+#                      env override exists for measurement only (round
+#                      5 re-tests 7 now that the exit-time f64 recheck
+#                      + rescue absorb margin flips); production stays
+#                      at the default.
 
 
 def _pow2_above(m):
@@ -366,11 +373,12 @@ def _leaf_eliminate(Mh, Ml):
 # partial.  Same elimination order and double-single arithmetic as the
 # plain loop — only the schedule changes.
 
-P_LEAF = 16
+P_LEAF = int(_os.environ.get("EICOS_P_LEAF", "16"))
 # the split phase-A schedule runs each panel as two P/2-step loops
 # (steps P/2..P-1 touch only the bottom sublane tile) — odd P would
-# silently leave the last panel row uneliminated
-assert P_LEAF % 2 == 0, P_LEAF
+# silently leave the last panel row uneliminated.  Env override for
+# measurement (P=8 was slower in round 2, BEFORE the split schedule).
+assert P_LEAF % 2 == 0 and B % P_LEAF == 0, P_LEAF
 _UNROLL_INNER = False
 
 
