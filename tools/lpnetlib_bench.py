@@ -61,16 +61,37 @@ def run_batched(args):
         st, prob, expected = corpus.load(name)
         st = st.with_gsplit(prob.G, prob.A)
         base_rate = None
+        # generate ONE instance pool, ground-truth-filtered: a 1%
+        # multiplicative c-perturbation makes marginal LPs (lp_25fv47)
+        # genuinely UNBOUNDED — measured: HiGHS certifies 4 of the
+        # first 6 draws unbounded and our lanes correctly exit DINF —
+        # so draws are resampled until HiGHS says optimal.  Same seed
+        # at every lane count: lane i's instance is identical across
+        # rows, so tier differences between rows are batch effects.
+        from scipy.optimize import linprog
+
+        rng = np.random.default_rng(17)
+        pool = []
+        dropped = 0
+        while len(pool) < max(lane_counts):
+            c = (np.asarray(prob.c)
+                 * (1.0 + 0.01 * rng.standard_normal(st.n)))
+            res = linprog(c, A_ub=np.asarray(prob.G),
+                          b_ub=np.asarray(prob.h),
+                          A_eq=np.asarray(prob.A) if st.p else None,
+                          b_eq=np.asarray(prob.b) if st.p else None,
+                          bounds=(None, None), method="highs")
+            if res.status != 0:
+                dropped += 1
+                assert dropped < 20 * max(lane_counts), name
+                continue
+            pool.append(prob.__class__(G=prob.G, A=prob.A, c=c,
+                                       h=prob.h, b=prob.b))
+        if dropped:
+            print(f"  ({name}: resampled {dropped} unbounded/infeasible "
+                  f"perturbation draws)")
         for N in lane_counts:
-            rng = np.random.default_rng(17)  # same seeds at every N:
-            # lane i's instance is identical across lane counts, so
-            # tier differences between rows are batch effects, not data
-            probs = []
-            for _ in range(N):
-                c = (np.asarray(prob.c)
-                     * (1.0 + 0.01 * rng.standard_normal(st.n)))
-                probs.append(prob.__class__(G=prob.G, A=prob.A, c=c,
-                                            h=prob.h, b=prob.b))
+            probs = pool[:N]
             shared = ("G", "A", "h", "b")
             batch = BatchedSolver.stack(probs, shared=shared)
             bs = BatchedSolver(st, settings, shared=shared,
@@ -93,6 +114,7 @@ def run_batched(args):
             print(f"{name:14s} {N:5d} {n_ok:3d}/{N:<3d} {el:8.2f} "
                   f"{rate:9.2f} {el / N * 1e3:8.1f}ms {scaling:8.2f} "
                   f"{len(rescued):8d}")
+            iters = np.asarray(jax.device_get(sols.info.iter)).tolist()
             rows.append(dict(
                 problem=name, lanes=N, optimal=n_ok,
                 batch_s=round(el, 3), solves_per_sec=round(rate, 3),
@@ -100,6 +122,8 @@ def run_batched(args):
                 scaling_vs_1lane=(round(scaling, 3)
                                   if scaling == scaling else None),
                 exit_codes=[int(cd) for cd in codes],
+                iters=[int(v) for v in iters],
+                resampled_draws=dropped,
                 rescued_lanes=rescued))
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "baselines", "lpnetlib_batched.json")
