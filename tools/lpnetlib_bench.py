@@ -136,7 +136,13 @@ def run_batched(args):
                                      pattern="shared G/A/h/b, perturbed c"),
                        note=("scaling_vs_1lane = solves_per_sec / the "
                              "1-lane row's rate (requires 1 in --batch); "
-                             "exit codes are POST-rescue tiers"),
+                             "exit codes are POST-rescue tiers.  Code-10 "
+                             "(CLOSE_TO_OPTIMAL) lanes on the lp_agg* "
+                             "family are BY-NATURE marginal: the same "
+                             "perturbed instances exit 10 under exact "
+                             "f64 on CPU (1e-8 is unreachable on them "
+                             "in any precision; objectives still match "
+                             "HiGHS to ~1e-6)"),
                        rows=rows), f, indent=1)
     print(f"\nwrote {out}")
 
