@@ -66,6 +66,7 @@ int main(int argc, char **argv)
     (void)solver.solve();
 
     std::vector<double> ms;
+    std::vector<int> codes;
     int n_optimal = 0;
     for (int i = 0; i < nvar[0]; i++) {
         solver.updateData(Gpr.data(), p ? Apr.data() : nullptr,
@@ -76,6 +77,7 @@ int main(int argc, char **argv)
         ms.push_back(std::chrono::duration<double, std::milli>(
                          std::chrono::steady_clock::now() - t0)
                          .count());
+        codes.push_back(int(code));
         n_optimal += (code == EiCOS::exitcode::optimal
                       || code == EiCOS::exitcode::close_to_optimal);
     }
@@ -84,7 +86,10 @@ int main(int argc, char **argv)
     std::printf(
         "{\"n\": %d, \"m\": %d, \"p\": %d, \"variants\": %d, "
         "\"optimal\": %d, \"median_solve_ms\": %.3f, "
-        "\"solves_per_sec\": %.3f}\n",
+        "\"solves_per_sec\": %.3f, \"codes\": [",
         n, m, p, int(ms.size()), n_optimal, med, 1000.0 / med);
+    for (size_t i = 0; i < codes.size(); i++)
+        std::printf("%s%d", i ? ", " : "", codes[i]);
+    std::printf("]}\n");
     return 0;
 }

@@ -140,9 +140,12 @@ def run_batched(args):
                              "(CLOSE_TO_OPTIMAL) lanes on the lp_agg* "
                              "family are BY-NATURE marginal: the same "
                              "perturbed instances exit 10 under exact "
-                             "f64 on CPU (1e-8 is unreachable on them "
-                             "in any precision; objectives still match "
-                             "HiGHS to ~1e-6)"),
+                             "f64 on CPU, and the REFERENCE BINARY "
+                             "exits its close_to_optimal tier on them "
+                             "too (baselines/ref_perturbed_tiers.json: "
+                             "8/16 agg2, 9/16 agg3 non-0) — tier "
+                             "parity, not a kernel gap; objectives "
+                             "still match HiGHS to ~1e-6"),
                        rows=rows), f, indent=1)
     print(f"\nwrote {out}")
 
