@@ -265,6 +265,17 @@ def _use_subst(dtype, settings) -> bool:
         return False
     if settings.pallas_leaf == "off":
         return False
+    if settings.kkt_strategy == "full" and settings.dense_solve != "subst":
+        # the "full" strategy is the exit-code-parity default for the
+        # small corpus problems; its knife-edge DINF certificate
+        # (unboundedMaxSqrt) is decided by the exact f64 rounding path
+        # of the solves, and the substitution kernels' ~2^-48 rounding
+        # flips it to NUMERICS (measured on TPU, round 5).  Small
+        # problems are tunnel-latency-bound, so keeping "full" on the
+        # inverse path costs no headline; every subst win (LPnetlib
+        # single-lane + batched, the rescue pass) lives on
+        # "reduced"/"normal".
+        return False
     from .ops.pallas_dense_ds import dense_ds_available
 
     return dense_ds_available()
