@@ -23,6 +23,21 @@ from .solver import Solution, solve
 from .structure import ProblemStructure
 
 
+def _rescue_settings(rescue: Optional[Settings]) -> Optional[Settings]:
+    """Normalize a rescue configuration: the documented rescue contract
+    is a re-solve under the EXACT-f64 dense elimination (knife-edge
+    certificates like unboundedMaxSqrt's DINF are decided by the exact
+    f64 rounding path, and the substitution kernels' ~2^-48 rounding
+    flips that one to NUMERICS — measured on TPU, round 5).  A rescue
+    left at dense_solve="auto" therefore pins to the inverse path;
+    an explicit "subst" is honored."""
+    import dataclasses
+
+    if rescue is None or rescue.dense_solve != "auto":
+        return rescue
+    return dataclasses.replace(rescue, dense_solve="inverse")
+
+
 class Solver:
     """Single-problem solver with the reference's constructor shape:
     Solver(G, A, c, h, b, soc_dims); l is inferred as m - sum(q)
@@ -77,7 +92,7 @@ class Solver:
             # .GSplit); pattern-only, so update_data keeps the executable
             self.structure = self.structure.with_gsplit(
                 self._data.G, self._data.A)
-        self.rescue = rescue
+        self.rescue = _rescue_settings(rescue)
         self._solution: Optional[Solution] = None
         self._dev: Optional[ProblemData] = None
 
@@ -233,6 +248,7 @@ class BatchedSolver:
         self.structure = structure
         self.settings = settings
         self.shared = tuple(shared)
+        rescue = _rescue_settings(rescue)
         self.rescue = rescue
         self.mesh = mesh
         axes = ProblemData(**{f: (None if f in self.shared else 0)

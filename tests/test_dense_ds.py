@@ -164,6 +164,20 @@ def _check_prechunk(rng, L, Dp):
         assert np.array_equal(np.asarray(r), np.asarray(o))
 
 
+def test_rescue_settings_pin_inverse_path():
+    # the rescue contract is an exact-f64 dense-elimination re-solve:
+    # "auto" rescues pin to the inverse path (knife-edge DINF parity,
+    # measured round 5); explicit choices are honored
+    from eicos_tpu.api import _rescue_settings
+    from eicos_tpu.settings import Settings
+
+    assert _rescue_settings(None) is None
+    r = _rescue_settings(Settings(kkt_strategy="reduced"))
+    assert r.dense_solve == "inverse" and r.kkt_strategy == "reduced"
+    r = _rescue_settings(Settings(dense_solve="subst"))
+    assert r.dense_solve == "subst"
+
+
 def test_kkt_dense_subst_gating_off_cpu():
     # on the CPU backend the subst path must not engage ("auto" falls
     # back to the inverse path), keeping existing behavior intact
