@@ -156,6 +156,35 @@ class Solver:
                     solve(self.structure, self._dev, self.rescue))
                 if _code_rank(int(rsol.exit_code)) > _code_rank(code):
                     self._solution = rsol
+            code = int(self._solution.exit_code)
+            if _code_rank(code) < 2 and jax.default_backend() != "cpu":
+                # final tier: exact IEEE-f64 re-solve on the host CPU
+                # backend.  Knife-edge certificates (unboundedMaxSqrt's
+                # DINF, /root/reference/test/unboundedProblems/
+                # unboundedMaxSqrt.h:14) diverge under the TPU's
+                # EMULATED float64 for every on-chip configuration —
+                # measured round 5: all strategies, f32 factors, and
+                # even pure-XLA f64 with Pallas off exit NUMERICS at
+                # iter 4 (round-4 HEAD identically), while host IEEE
+                # f64 certifies DINF.  Cost: one host solve, only on
+                # the rare still-non-definitive path.
+                import dataclasses
+
+                from .ops.backend import force_cpu
+
+                # distinct static settings force a FRESH trace (the jit
+                # jaxpr cache keys on settings, and a TPU-traced graph
+                # bakes in Pallas calls); force_cpu() turns off the
+                # settings-independent kernel gates during that trace
+                cpu_cfg = dataclasses.replace(
+                    self.rescue, pallas_leaf="off", dense_solve="inverse")
+                with jax.default_device(jax.devices("cpu")[0]), \
+                        force_cpu():
+                    csol = jax.device_get(
+                        solve(self.structure, jax.device_put(self._data),
+                              cpu_cfg))
+                if _code_rank(int(csol.exit_code)) > _code_rank(code):
+                    self._solution = csol
         if verbose:
             from .utils.printing import print_iteration_table, print_summary
             print_iteration_table(self._solution)

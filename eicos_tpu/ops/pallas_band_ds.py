@@ -2182,7 +2182,6 @@ def band_solve_ds_bw(fac, rhs_t, interpret: bool = False):
 def band_ds_available() -> bool:
     if not _HAS_PALLAS:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from .backend import tpu_kernels_on
+
+    return tpu_kernels_on()

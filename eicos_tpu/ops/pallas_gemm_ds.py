@@ -412,10 +412,9 @@ except Exception:  # pragma: no cover
 def gemv_ds_available() -> bool:
     if not _HAS_PALLAS:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from .backend import tpu_kernels_on
+
+    return tpu_kernels_on()
 
 
 # --------------------- factor-time prechunked big operands -------------

@@ -137,7 +137,6 @@ def _pallas_call(nb, interpret=False):
 def pallas_available() -> bool:
     if not _HAS_PALLAS:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from .backend import tpu_kernels_on
+
+    return tpu_kernels_on()

@@ -292,7 +292,6 @@ except Exception:  # pragma: no cover
 def pallas_ds_available() -> bool:
     if not _HAS_PALLAS:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from .backend import tpu_kernels_on
+
+    return tpu_kernels_on()
